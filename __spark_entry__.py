@@ -113,8 +113,52 @@ def q_lang_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "url", r"https://([^/]+)/", 1)).alias("n_hosts")))
 
 
+_LAYER_CACHE = None
+
+
+def _layer():
+    global _LAYER_CACHE
+    if _LAYER_CACHE is None:
+        from s2_geometry_kotlin_spark.sources.layers import fixture_layer
+        _LAYER_CACHE = fixture_layer()
+    return _LAYER_CACHE
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5 + C1: covering prejoin + interior fast-accept + exact PIP."""
+    from s2_geometry_kotlin_spark.operators.spatial_join import spatial_join
+    return spatial_join(_geo_pages(spark, sf_dir), spark, _layer(),
+                        strategy="broadcast")
+
+
+def q_spatial_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join, salted shuffle-hash plan (north_rule skew handling)."""
+    from s2_geometry_kotlin_spark.operators.spatial_join import spatial_join
+    return spatial_join(_geo_pages(spark, sf_dir), spark, _layer(),
+                        strategy="salted")
+
+
+def q_polygon_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregate: contained pages per polygon."""
+    return (q_spatial_join(spark, sf_dir)
+            .groupBy("layer", "polygon_id")
+            .agg(F.count("*").alias("n_pages")))
+
+
+def _pip_oracle_sql(select: str) -> str:
+    from s2_geometry_kotlin_spark.functions.sqlgen import (pip_join_ctes,
+                                                           xyz_sql)
+    return ("WITH " + P.pages_cte_duckdb() + ",\n"
+            f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+            f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+            + pip_join_ctes(_layer()) + "\n" + select)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "spatial_join": q_spatial_join,
+        "spatial_join_salted": q_spatial_join_salted,
+        "polygon_page_counts": q_polygon_page_counts,
         "pages_synth": q_pages_synth,
         "geoparse": q_geoparse,
         "cell_leaf": q_cell_leaf,
@@ -134,6 +178,13 @@ def oracle_sql() -> dict[str, str]:
     henc = _henc_with()
     pages = "WITH " + P.pages_cte_duckdb()
     return {
+        "spatial_join": _pip_oracle_sql(
+            "SELECT url, layer, polygon_id FROM pipjoin"),
+        "spatial_join_salted": _pip_oracle_sql(
+            "SELECT url, layer, polygon_id FROM pipjoin"),
+        "polygon_page_counts": _pip_oracle_sql(
+            "SELECT layer, polygon_id, COUNT(*) AS n_pages FROM pipjoin "
+            "GROUP BY 1, 2"),
         "pages_synth": pages + " SELECT url, warc_ts, "
                                "length(text) AS text_len, lang FROM pages",
         "geoparse": pages + " " + _GEO_SRC_DUCK,
@@ -173,5 +224,6 @@ def oracle_sql() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: geocode pages and profile hot cells at level 12."""
-    return q_hot_cells(spark, "/root/testdata/sf0.001")
+    """Flagship: geocode pages, assign cells, spatial-join against the
+    polygon layer, count pages per polygon."""
+    return q_polygon_page_counts(spark, "/root/testdata/sf0.001")

@@ -13,6 +13,8 @@ whose cross-engine agreement is asserted by tests/test_oracle_parity.py.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..kernel.tables import LOOKUP_POS
 
 MAX_LEVEL = 30
@@ -153,6 +155,81 @@ def token_sql(cell_id: str) -> str:
     """Hex token with trailing zeros stripped (S2CellId.kt:638-654)."""
     return (f"CASE WHEN {cell_id} = 0 THEN 'X' ELSE "
             f"rtrim(lower(lpad(to_hex({cell_id}), 16, '0')), '0') END")
+
+
+def pip_join_ctes(polygons) -> str:
+    """CTE chain computing the brute-force PIP spatial join in SQL.
+
+    Input cte contract: `pxyz(url, x, y, z)` (unit vectors of geocoded
+    pages).  Output cte: `pipjoin(url, layer, polygon_id)` — one row per
+    contained (page, polygon) pair, same crossing-parity convention as
+    kernel/pip.py (fixed origin, xor over loops).
+
+    Polygon edges and loop cross-products are inlined as float literals
+    (data, like the vertex coordinates); the determinant signs and the
+    parity count are computed by DuckDB.
+    """
+    from ..kernel import pip as _pip
+    from ..kernel import predicates as _pred
+
+    ox, oy, oz = (repr(float(v)) for v in _pred.ORIGIN)
+    edge_rows = []
+    meta_rows = []
+    for layer, pid, poly in polygons:
+        oi = False
+        for lp in poly.loops:
+            verts = lp.vertices
+            oi ^= _pip.compute_origin_inside(verts)
+            n = len(verts)
+            for i in range(n):
+                c = verts[i]
+                d = verts[(i + 1) % n]
+                e = np.cross(c, d)
+                edge_rows.append(
+                    f"({pid},{c[0]!r},{c[1]!r},{c[2]!r},"
+                    f"{d[0]!r},{d[1]!r},{d[2]!r},"
+                    f"{e[0]!r},{e[1]!r},{e[2]!r})")
+        meta_rows.append(f"({pid},'{layer}',{str(oi).upper()})")
+
+    return f"""pop AS (
+  SELECT url, x, y, z,
+         {oy} * z - {oz} * y AS opx,
+         {oz} * x - {ox} * z AS opy,
+         {ox} * y - {oy} * x AS opz
+  FROM pxyz
+),
+polyedges(polygon_id, cx, cy, cz, dx, dy, dz, ex, ey, ez) AS (
+  VALUES {','.join(edge_rows)}
+),
+polymeta(polygon_id, layer, origin_inside) AS (
+  VALUES {','.join(meta_rows)}
+),
+pipcross AS (
+  SELECT p.url, e.polygon_id,
+    SUM(CASE WHEN
+      (CASE WHEN p.opx * e.dx + p.opy * e.dy + p.opz * e.dz > 0
+            THEN 1 ELSE -1 END) =
+      -(CASE WHEN p.opx * e.cx + p.opy * e.cy + p.opz * e.cz > 0
+             THEN 1 ELSE -1 END)
+      AND
+      -(CASE WHEN e.ex * p.x + e.ey * p.y + e.ez * p.z > 0
+             THEN 1 ELSE -1 END) =
+      -(CASE WHEN p.opx * e.cx + p.opy * e.cy + p.opz * e.cz > 0
+             THEN 1 ELSE -1 END)
+      AND
+      (CASE WHEN e.ex * {ox} + e.ey * {oy} + e.ez * {oz} > 0
+            THEN 1 ELSE -1 END) =
+      -(CASE WHEN p.opx * e.cx + p.opy * e.cy + p.opz * e.cz > 0
+             THEN 1 ELSE -1 END)
+      THEN 1 ELSE 0 END) AS ncross
+  FROM pop p CROSS JOIN polyedges e
+  GROUP BY 1, 2
+),
+pipjoin AS (
+  SELECT c.url, m.layer, c.polygon_id
+  FROM pipcross c JOIN polymeta m ON m.polygon_id = c.polygon_id
+  WHERE (c.ncross % 2 = 1) <> m.origin_inside
+)"""
 
 
 def chord_dist2_sql(x1: str, y1: str, z1: str,

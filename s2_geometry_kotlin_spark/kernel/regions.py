@@ -1,0 +1,640 @@
+"""Scalar region types implementing the S2Region contract used by the
+coverer (SURVEY.md §1.2): cap_bound, may_intersect_cell, contains_cell,
+contains_point.
+
+These run driver-side over polygon *layers* (small); the per-page hot path
+never touches them — it goes through the exploded covering DataFrame and
+the vectorized PIP/distance kernels.
+
+Reference semantics:
+- S2Cap:        dilivia/s2/region/S2Cap.kt:77-485
+- S2LatLngRect: dilivia/s2/region/S2LatLngRect.kt
+- S2Loop:       dilivia/s2/region/S2Loop.kt (bound: 925-966)
+- S2Polygon:    dilivia/s2/region/S2Polygon.kt
+- S2Cell:       dilivia/s2/region/S2Cell.kt (contains: 528-542)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import cellid as ck
+from . import distance as dist
+from . import pip
+from . import predicates as pred
+
+DBL_EPS = 2.220446049250313e-16
+
+
+# ---------------------------------------------------------------------------
+# Cell geometry helper (scalar)
+# ---------------------------------------------------------------------------
+
+_UNORM = [
+    lambda u: np.array([u, -1.0, 0.0]),
+    lambda u: np.array([1.0, u, 0.0]),
+    lambda u: np.array([1.0, 0.0, u]),
+    lambda u: np.array([-u, 0.0, 1.0]),
+    lambda u: np.array([0.0, -u, 1.0]),
+    lambda u: np.array([0.0, -1.0, -u]),
+]
+_VNORM = [
+    lambda v: np.array([-v, 0.0, 1.0]),
+    lambda v: np.array([0.0, -v, 1.0]),
+    lambda v: np.array([0.0, -1.0, -v]),
+    lambda v: np.array([v, -1.0, 0.0]),
+    lambda v: np.array([1.0, v, 0.0]),
+    lambda v: np.array([1.0, 0.0, v]),
+]
+
+
+class Cell:
+    """Scalar S2Cell view over a cell id."""
+
+    def __init__(self, cid: int):
+        self.id = cid
+        self.face = cid >> 61
+        self.level = ck.sc_level(cid)
+        self.u_lo, self.u_hi, self.v_lo, self.v_hi = ck.sc_bound_uv(cid)
+        self._vertices: np.ndarray | None = None
+
+    def vertices(self) -> np.ndarray:
+        if self._vertices is None:
+            out = np.empty((4, 3), dtype=np.float64)
+            corners = ((self.u_lo, self.v_lo), (self.u_hi, self.v_lo),
+                       (self.u_hi, self.v_hi), (self.u_lo, self.v_hi))
+            for k, (u, v) in enumerate(corners):
+                x, y, z = ck.sc_face_uv_to_xyz(self.face, u, v)
+                n = math.sqrt(x * x + y * y + z * z)
+                out[k] = (x / n, y / n, z / n)
+            self._vertices = out
+        return self._vertices
+
+    def center(self) -> np.ndarray:
+        return np.array(ck.sc_center_xyz(self.id))
+
+    def edge_raw(self, k: int) -> np.ndarray:
+        """Inward-facing normal of edge k (S2Cell.kt:129-135)."""
+        if k == 0:
+            return _VNORM[self.face](self.v_lo)
+        if k == 1:
+            return _UNORM[self.face](self.u_hi)
+        if k == 2:
+            return -_VNORM[self.face](self.v_hi)
+        return -_UNORM[self.face](self.u_lo)
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        """Closed-set uv test expanded by eps (S2Cell.kt:528-542)."""
+        # project p onto this cell's face; None if on back hemisphere
+        x, y, z = float(p[0]), float(p[1]), float(p[2])
+        if (x, y, z, -x, -y, -z)[self.face] <= 0:
+            return False
+        # project onto this face (validFaceXyzToUv table, divide by the raw
+        # signed component)
+        denom = (x, y, z)[self.face % 3]
+        u_num = {0: y, 1: -x, 2: -x, 3: z, 4: z, 5: -y}[self.face]
+        v_num = {0: z, 1: z, 2: -y, 3: y, 4: -x, 5: -x}[self.face]
+        uu, vv = u_num / denom, v_num / denom
+        return (self.u_lo - DBL_EPS <= uu <= self.u_hi + DBL_EPS and
+                self.v_lo - DBL_EPS <= vv <= self.v_hi + DBL_EPS)
+
+    def children(self) -> list["Cell"]:
+        return [Cell(ck.sc_child(self.id, pos)) for pos in range(4)]
+
+    def rect_bound(self) -> "LatLngRect":
+        verts = self.vertices()
+        lat = [math.atan2(v[2], math.hypot(v[0], v[1])) for v in verts]
+        lng = [math.atan2(v[1], v[0]) for v in verts]
+        if self.level == 0:
+            # face cells: fixed bounds (S2Cell.getRectBound level-0 cases)
+            pole_min_lat = math.asin(math.sqrt(1.0 / 3.0)) - 2 * DBL_EPS
+            bounds = {
+                0: LatLngRect(-math.pi / 4, math.pi / 4,
+                              -math.pi / 4, math.pi / 4),
+                1: LatLngRect(-math.pi / 4, math.pi / 4,
+                              math.pi / 4, 3 * math.pi / 4),
+                2: LatLngRect(pole_min_lat, math.pi / 2,
+                              -math.pi, math.pi),
+                3: LatLngRect(-math.pi / 4, math.pi / 4,
+                              3 * math.pi / 4, -3 * math.pi / 4),
+                4: LatLngRect(-math.pi / 4, math.pi / 4,
+                              -3 * math.pi / 4, -math.pi / 4),
+                5: LatLngRect(-math.pi / 2, -pole_min_lat,
+                              -math.pi, math.pi),
+            }
+            return bounds[self.face]
+        # non-face cells never contain poles; vertex extremes + 2eps slack
+        lat_lo = min(lat) - 2 * DBL_EPS
+        lat_hi = max(lat) + 2 * DBL_EPS
+        # longitude: cells at level>=1 span < 180 deg
+        i = LngInterval.from_point(float(lng[0]))
+        for t in lng[1:]:
+            i = i.add_point(float(t))
+        i = i.expanded(2 * DBL_EPS)
+        return LatLngRect(max(lat_lo, -math.pi / 2),
+                          min(lat_hi, math.pi / 2), i.lo, i.hi)
+
+
+# ---------------------------------------------------------------------------
+# S1 longitude interval (wrapping)
+# ---------------------------------------------------------------------------
+
+class LngInterval:
+    """S1Interval semantics (dilivia/s2/S1Interval.kt): [lo, hi] going CCW;
+    lo > hi means the interval wraps across +-pi.  Full is [-pi, pi]."""
+
+    def __init__(self, lo: float, hi: float):
+        self.lo = lo
+        self.hi = hi
+
+    @staticmethod
+    def empty() -> "LngInterval":
+        return LngInterval(math.pi, -math.pi)
+
+    @staticmethod
+    def full() -> "LngInterval":
+        return LngInterval(-math.pi, math.pi)
+
+    @staticmethod
+    def from_point(p: float) -> "LngInterval":
+        if p == -math.pi:
+            p = math.pi
+        return LngInterval(p, p)
+
+    def is_empty(self) -> bool:
+        return self.lo == math.pi and self.hi == -math.pi
+
+    def is_full(self) -> bool:
+        return self.lo == -math.pi and self.hi == math.pi
+
+    def is_inverted(self) -> bool:
+        return self.lo > self.hi
+
+    def length(self) -> float:
+        length = self.hi - self.lo
+        if length >= 0:
+            return length
+        length += 2 * math.pi
+        return length if length > 0 else -1.0
+
+    def contains(self, p: float) -> bool:
+        if p == -math.pi:
+            p = math.pi
+        if self.is_inverted():
+            return (p >= self.lo or p <= self.hi) and not self.is_empty()
+        return self.lo <= p <= self.hi
+
+    def contains_interval(self, o: "LngInterval") -> bool:
+        if o.is_empty():
+            return True
+        if self.is_full():
+            return True
+        if self.is_inverted():
+            if o.is_inverted():
+                return o.lo >= self.lo and o.hi <= self.hi
+            return (o.lo >= self.lo or o.hi <= self.hi)
+        if o.is_inverted():
+            return self.is_full()
+        return o.lo >= self.lo and o.hi <= self.hi
+
+    def intersects(self, o: "LngInterval") -> bool:
+        if self.is_empty() or o.is_empty():
+            return False
+        if self.is_inverted():
+            return o.is_inverted() or o.lo <= self.hi or o.hi >= self.lo
+        if o.is_inverted():
+            return o.lo <= self.hi or o.hi >= self.lo
+        return o.lo <= self.hi and o.hi >= self.lo
+
+    def add_point(self, p: float) -> "LngInterval":
+        if p == -math.pi:
+            p = math.pi
+        if self.is_empty():
+            return LngInterval.from_point(p)
+        if self.contains(p):
+            return self
+        # extend on the side with smaller resulting length
+        dlo = _pos_angle(self.lo - p)
+        dhi = _pos_angle(p - self.hi)
+        if dlo < dhi:
+            return LngInterval(p, self.hi)
+        return LngInterval(self.lo, p)
+
+    def union(self, o: "LngInterval") -> "LngInterval":
+        if o.is_empty():
+            return self
+        if self.is_empty():
+            return o
+        out = self.add_point(o.lo)
+        return out.add_point(o.hi)
+
+    def expanded(self, margin: float) -> "LngInterval":
+        if self.is_empty() or margin <= 0:
+            return self
+        if self.length() + 2 * margin + 2 * DBL_EPS >= 2 * math.pi:
+            return LngInterval.full()
+        lo = _wrap_angle(self.lo - margin)
+        hi = _wrap_angle(self.hi + margin)
+        if lo <= -math.pi:
+            lo = math.pi
+        return LngInterval(lo, hi)
+
+
+def _pos_angle(a: float) -> float:
+    a = math.fmod(a, 2 * math.pi)
+    return a + 2 * math.pi if a < 0 else a
+
+
+def _wrap_angle(a: float) -> float:
+    a = math.fmod(a, 2 * math.pi)
+    if a > math.pi:
+        a -= 2 * math.pi
+    if a < -math.pi:
+        a += 2 * math.pi
+    return a
+
+
+# ---------------------------------------------------------------------------
+# Regions
+# ---------------------------------------------------------------------------
+
+class Cap:
+    """Spherical disc: center xyz + squared-chord radius
+    (S2Cap.kt:77; dist2 < 0 => empty, dist2 == 4 => full)."""
+
+    def __init__(self, center: np.ndarray, radius2: float):
+        self.center = np.asarray(center, dtype=np.float64)
+        self.radius2 = radius2
+
+    @staticmethod
+    def from_latlng_radius_deg(lat: float, lon: float,
+                               radius_deg: float) -> "Cap":
+        x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lon]))
+        r2 = float(dist.radians_to_chord2(math.radians(radius_deg)))
+        return Cap(np.array([x[0], y[0], z[0]]), r2)
+
+    def is_empty(self) -> bool:
+        return self.radius2 < 0
+
+    def is_full(self) -> bool:
+        return self.radius2 >= 4.0
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        d = self.center - p
+        return float(d @ d) <= self.radius2
+
+    def complement(self) -> "Cap":
+        if self.is_full():
+            return Cap(-self.center, -1.0)
+        if self.is_empty():
+            return Cap(-self.center, 4.0)
+        return Cap(-self.center, 4.0 - self.radius2)
+
+    def _sin2(self) -> float:
+        d2 = self.radius2
+        return d2 * (1.0 - 0.25 * d2)
+
+    def _intersects(self, cell: Cell, vertices: np.ndarray) -> bool:
+        """Cap intersects cell, given no cell vertex is inside the cap
+        (S2Cap.kt:419-466)."""
+        if self.radius2 >= 2.0:  # >= 90 degrees
+            return False
+        if self.is_empty():
+            return False
+        if cell.contains_point(self.center):
+            return True
+        sin2_angle = self._sin2()
+        for k in range(4):
+            edge = cell.edge_raw(k)
+            dot = float(self.center @ edge)
+            if dot > 0:
+                continue
+            if dot * dot > sin2_angle * float(edge @ edge):
+                return False
+            # great circle through edge intersects cap; check the closest
+            # point on the edge lies within the edge's arc
+            dir_ = np.cross(edge, self.center)
+            if float(dir_ @ vertices[k]) < 0 and \
+                    float(dir_ @ vertices[(k + 1) & 3]) > 0:
+                return True
+        return False
+
+    def contains_cell(self, cell: Cell) -> bool:
+        vertices = cell.vertices()
+        for k in range(4):
+            if not self.contains_point(vertices[k]):
+                return False
+        return not self.complement()._intersects(cell, vertices)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        vertices = cell.vertices()
+        for k in range(4):
+            if self.contains_point(vertices[k]):
+                return True
+        return self._intersects(cell, vertices)
+
+    def cap_bound(self) -> "Cap":
+        return self
+
+
+class LatLngRect:
+    """lat interval x wrapping lng interval, radians."""
+
+    def __init__(self, lat_lo: float, lat_hi: float,
+                 lng_lo: float, lng_hi: float):
+        self.lat_lo = lat_lo
+        self.lat_hi = lat_hi
+        self.lng = LngInterval(lng_lo, lng_hi)
+
+    @staticmethod
+    def from_degrees(lat_lo, lat_hi, lng_lo, lng_hi) -> "LatLngRect":
+        return LatLngRect(math.radians(lat_lo), math.radians(lat_hi),
+                          math.radians(lng_lo), math.radians(lng_hi))
+
+    @staticmethod
+    def empty() -> "LatLngRect":
+        r = LatLngRect(1.0, -1.0, 0.0, 0.0)
+        r.lng = LngInterval.empty()
+        return r
+
+    def is_empty(self) -> bool:
+        return self.lat_lo > self.lat_hi or self.lng.is_empty()
+
+    def contains_latlng(self, lat: float, lng: float) -> bool:
+        return (self.lat_lo <= lat <= self.lat_hi and
+                self.lng.contains(lng))
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        lat = math.atan2(float(p[2]),
+                         math.sqrt(float(p[0]) ** 2 + float(p[1]) ** 2))
+        lng = math.atan2(float(p[1]), float(p[0]))
+        return self.contains_latlng(lat, lng)
+
+    def contains_rect(self, o: "LatLngRect") -> bool:
+        if o.is_empty():
+            return True
+        return (self.lat_lo <= o.lat_lo and self.lat_hi >= o.lat_hi and
+                self.lng.contains_interval(o.lng))
+
+    def intersects_rect(self, o: "LatLngRect") -> bool:
+        if self.is_empty() or o.is_empty():
+            return False
+        return (self.lat_lo <= o.lat_hi and o.lat_lo <= self.lat_hi and
+                self.lng.intersects(o.lng))
+
+    def union(self, o: "LatLngRect") -> "LatLngRect":
+        if self.is_empty():
+            return o
+        if o.is_empty():
+            return self
+        r = LatLngRect(min(self.lat_lo, o.lat_lo),
+                       max(self.lat_hi, o.lat_hi), 0, 0)
+        r.lng = self.lng.union(o.lng)
+        return r
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return self.contains_rect(cell.rect_bound())
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        # conservative: rect-bound intersection (slightly loose coverings
+        # are still correct; the exact verify step rejects outsiders)
+        return self.intersects_rect(cell.rect_bound())
+
+    def cap_bound(self) -> Cap:
+        """S2LatLngRect.getCapBound port (poleward cap vs mid cap)."""
+        if self.is_empty():
+            return Cap(np.array([1.0, 0.0, 0.0]), -1.0)
+        if self.lat_lo + self.lat_hi < 0:
+            pole_z, pole_angle = -1.0, math.pi / 2 + self.lat_hi
+        else:
+            pole_z, pole_angle = 1.0, math.pi / 2 - self.lat_lo
+        pole_cap = Cap(np.array([0.0, 0.0, pole_z]),
+                       float(dist.radians_to_chord2(pole_angle)))
+        if self.lng.length() < 2 * math.pi - 1e-15 and \
+                not self.lng.is_inverted():
+            mid_lng = 0.5 * (self.lng.lo + self.lng.hi)
+            mid_lat = 0.5 * (self.lat_lo + self.lat_hi)
+            x, y, z = ck.latlng_deg_to_xyz(
+                np.array([math.degrees(mid_lat)]),
+                np.array([math.degrees(mid_lng)]))
+            center = np.array([x[0], y[0], z[0]])
+            r2 = 0.0
+            for la in (self.lat_lo, self.lat_hi):
+                for ln in (self.lng.lo, self.lng.hi):
+                    cx, cy, cz = ck.latlng_deg_to_xyz(
+                        np.array([math.degrees(la)]),
+                        np.array([math.degrees(ln)]))
+                    d = center - np.array([cx[0], cy[0], cz[0]])
+                    r2 = max(r2, float(d @ d))
+            mid_cap = Cap(center, r2 * (1 + 1e-14))
+            if mid_cap.radius2 < pole_cap.radius2:
+                return mid_cap
+        return pole_cap
+
+
+class Loop:
+    """Single ring, CCW interior-left (S2Loop semantics)."""
+
+    def __init__(self, vertices: np.ndarray):
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        self.origin_inside = pip.compute_origin_inside(self.vertices)
+        self._bound: LatLngRect | None = None
+
+    @staticmethod
+    def from_latlng_text(text: str) -> "Loop":
+        pts = []
+        for tok in text.split(","):
+            lat, lng = tok.strip().split(":")
+            x, y, z = ck.latlng_deg_to_xyz(np.array([float(lat)]),
+                                           np.array([float(lng)]))
+            pts.append([x[0], y[0], z[0]])
+        return Loop(np.array(pts, dtype=np.float64))
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        return bool(pip.loop_contains_points(
+            self.vertices, np.asarray(p)[None, :], self.origin_inside)[0])
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        return pip.loop_contains_points(self.vertices, pts,
+                                        self.origin_inside)
+
+    def rect_bound(self) -> LatLngRect:
+        """Conservative bound: per-edge lat/lng extremes + pole checks
+        (S2Loop.initBound, S2Loop.kt:925-966)."""
+        if self._bound is not None:
+            return self._bound
+        n = len(self.vertices)
+        if n < 3:
+            if self.origin_inside:  # full loop
+                b = LatLngRect(-math.pi / 2, math.pi / 2, -math.pi, math.pi)
+            else:
+                b = LatLngRect.empty()
+            self._bound = b
+            return b
+        v = self.vertices
+        lat = np.arctan2(v[:, 2], np.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2))
+        lng = np.arctan2(v[:, 1], v[:, 0])
+        lat_lo = float(lat.min())
+        lat_hi = float(lat.max())
+        li = LngInterval.from_point(float(lng[0]))
+        for t in lng[1:]:
+            li = li.add_point(float(t))
+        # account for edge latitude extremes: for edge AB with normal N,
+        # the great circle's max |lat| is asin(|N_xy| / |N|); extend the
+        # lat range when the extreme point lies within the edge's arc.
+        for i in range(n):
+            a = v[i]
+            b = v[(i + 1) % n]
+            nrm = np.cross(a, b)
+            n2 = float(nrm @ nrm)
+            if n2 == 0.0:
+                continue
+            nxy = math.sqrt(float(nrm[0]) ** 2 + float(nrm[1]) ** 2)
+            if nxy == 0.0:
+                continue
+            max_lat = math.asin(min(1.0, nxy / math.sqrt(n2)))
+            # latitude extreme points on the circle: +-p_ext
+            p_ext = np.array([-nrm[0] * nrm[2], -nrm[1] * nrm[2],
+                              nxy * nxy])
+            p_ext /= np.linalg.norm(p_ext)
+            for cand, lat_cand in ((p_ext, max_lat), (-p_ext, -max_lat)):
+                # inside arc test: (A x cand).N >= 0 and (cand x B).N >= 0
+                if float(np.cross(a, cand) @ nrm) >= 0 and \
+                        float(np.cross(cand, b) @ nrm) >= 0:
+                    lat_lo = min(lat_lo, lat_cand)
+                    lat_hi = max(lat_hi, lat_cand)
+        lat_lo -= 4 * DBL_EPS
+        lat_hi += 4 * DBL_EPS
+        li = li.expanded(4 * DBL_EPS)
+        b = LatLngRect(max(lat_lo, -math.pi / 2),
+                       min(lat_hi, math.pi / 2), li.lo, li.hi)
+        # pole handling (S2Loop.kt:946-966)
+        if self.contains_point(np.array([0.0, 0.0, 1.0])):
+            b = LatLngRect(b.lat_lo, math.pi / 2, -math.pi, math.pi)
+        if b.lng.is_full() and \
+                self.contains_point(np.array([0.0, 0.0, -1.0])):
+            b.lat_lo = -math.pi / 2
+        self._bound = b
+        return b
+
+    def _boundary_crosses_cell(self, cell: Cell) -> bool:
+        cv = cell.vertices()
+        v = self.vertices
+        n = len(v)
+        for i in range(n):
+            a, b = v[i], v[(i + 1) % n]
+            for k in range(4):
+                if pred.crossing_sign(a, b, cv[k], cv[(k + 1) & 3]) >= 0:
+                    return True
+        return False
+
+    def contains_cell(self, cell: Cell) -> bool:
+        bound = self.rect_bound()
+        if not bound.contains_rect(cell.rect_bound()):
+            # cheap reject is conservative-safe for contains
+            if not bound.intersects_rect(cell.rect_bound()):
+                return False
+        cv = cell.vertices()
+        if not self.contains_points(cv).all():
+            return False
+        if self._boundary_crosses_cell(cell):
+            return False
+        # guard the loop-inside-cell case
+        return not cell.contains_point(self.vertices[0])
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        if not self.rect_bound().intersects_rect(cell.rect_bound()):
+            return False
+        cv = cell.vertices()
+        if self.contains_points(cv).any():
+            return True
+        if cell.contains_point(self.vertices[0]):
+            return True
+        return self._boundary_crosses_cell(cell)
+
+    def cap_bound(self) -> Cap:
+        return self.rect_bound().cap_bound()
+
+
+class CellRegion:
+    """A single cell as an S2Region (S2Cell.kt:510-542)."""
+
+    def __init__(self, cid: int):
+        self.cell = Cell(cid)
+        self.id = cid
+
+    def contains_cell(self, other: Cell) -> bool:
+        return ck.sc_range_min(self.id) <= other.id <= ck.sc_range_max(self.id)
+
+    def may_intersect_cell(self, other: Cell) -> bool:
+        return (ck.sc_range_min(other.id) <= ck.sc_range_max(self.id) and
+                ck.sc_range_max(other.id) >= ck.sc_range_min(self.id))
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        return self.cell.contains_point(p)
+
+    def cap_bound(self) -> Cap:
+        center = self.cell.center()
+        r2 = 0.0
+        for v in self.cell.vertices():
+            d = center - v
+            r2 = max(r2, float(d @ d))
+        return Cap(center, r2 * (1 + 4 * DBL_EPS))
+
+
+class Polygon:
+    """Multi-loop polygon; containment = xor over loops
+    (S2Polygon.kt:1357-1376)."""
+
+    def __init__(self, loops: list[Loop]):
+        self.loops = loops
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        inside = False
+        for lp in self.loops:
+            inside ^= lp.contains_point(p)
+        return inside
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(pts), dtype=bool)
+        for lp in self.loops:
+            out ^= lp.contains_points(pts)
+        return out
+
+    def rect_bound(self) -> LatLngRect:
+        # bound of shell loops (depth 0); conservative: union of all loops
+        b = LatLngRect.empty()
+        for lp in self.loops:
+            b = b.union(lp.rect_bound())
+        return b
+
+    def contains_cell(self, cell: Cell) -> bool:
+        if len(self.loops) == 1:
+            return self.loops[0].contains_cell(cell)
+        # all cell vertices inside, no loop boundary crossing, polygon
+        # does not sit inside the cell
+        cv = cell.vertices()
+        if not self.contains_points(cv).all():
+            return False
+        for lp in self.loops:
+            if lp._boundary_crosses_cell(cell):
+                return False
+            if cell.contains_point(lp.vertices[0]):
+                return False
+        return True
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        cv = cell.vertices()
+        if self.contains_points(cv).any():
+            return True
+        for lp in self.loops:
+            if cell.contains_point(lp.vertices[0]):
+                return True
+            if lp._boundary_crosses_cell(cell):
+                return True
+        return False
+
+    def cap_bound(self) -> Cap:
+        return self.rect_bound().cap_bound()

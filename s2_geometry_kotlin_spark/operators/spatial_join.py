@@ -1,0 +1,148 @@
+"""Distributed point-in-polygon spatial join (SURVEY.md §3.3).
+
+Three-tier plan mirroring the reference's work-avoidance structure
+(S2Polygon.contains + MutableS2ShapeIndex) as join + filter + UDF:
+
+1. covering prejoin — polygon coverings exploded to cells, pages joined by
+   ancestor-cell equality at each distinct covering level (broadcast hash
+   join; no shuffle of the pages side),
+2. interior fast-accept — covering cells fully inside the polygon skip
+   verification (the reference's containsCenter fast path),
+3. exact PIP verify — boundary-cell candidates go through the vectorized
+   crossing-parity kernel (SEMI_OPEN, bit-compatible with
+   S2Loop.bruteForceContains) in an Arrow-batched pandas UDF.
+
+Strategies:
+- "broadcast": covering is broadcast; pages never shuffle.  Right when
+  layers are small (the common case; reference's brute-force-vs-index
+  cutover analogue).
+- "salted": shuffle hash join with explicit hot-cell salting — the
+  covering side is replicated nsalt ways, the pages side picks
+  pmod(xxhash64(url), nsalt).  Handles the north_rule's "explicit skew
+  handling" when a single covering cell matches a huge page population
+  (AQE alone cannot split one hot *key* of a broadcast join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..kernel import cellid as ck
+from ..kernel import pip
+from ..kernel.coverer import RegionCoverer
+from ..kernel.regions import Cell, Polygon
+
+
+def _signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_COVERING_CACHE: dict = {}
+
+
+def build_covering_rows(polygons: list[tuple[str, int, Polygon]],
+                        max_cells: int = 32):
+    """(layer, polygon_id, cell_id, level, range_min, range_max,
+    is_interior) — computed once per layer, driver-side, memoized."""
+    key = (id(polygons), max_cells)
+    if key in _COVERING_CACHE:
+        return _COVERING_CACHE[key]
+    rows = []
+    coverer = RegionCoverer(max_cells=max_cells)
+    for layer, pid, poly in polygons:
+        for cid in coverer.get_covering(poly):
+            rows.append((
+                layer, pid, _signed(cid), ck.sc_level(cid),
+                _signed(ck.sc_range_min(cid)), _signed(ck.sc_range_max(cid)),
+                bool(poly.contains_cell(Cell(cid))),
+            ))
+    _COVERING_CACHE[key] = rows
+    return rows
+
+
+_COV_SCHEMA = ("layer string, polygon_id long, cell_id long, level int, "
+               "range_min long, range_max long, is_interior boolean")
+
+
+def covering_df(spark: SparkSession,
+                polygons: list[tuple[str, int, Polygon]],
+                max_cells: int = 32) -> DataFrame:
+    return spark.createDataFrame(build_covering_rows(polygons, max_cells),
+                                 _COV_SCHEMA)
+
+
+def make_pip_udf(polygons: list[tuple[str, int, Polygon]]):
+    """Arrow-batched verify UDF: (polygon_id, lat, lon) -> contained.
+
+    The polygon vertex arrays ride in the UDF closure (broadcast by Spark
+    with the task binary — layers are small by design)."""
+    loops_by_pid: dict[int, list[np.ndarray]] = {
+        pid: [lp.vertices for lp in poly.loops]
+        for _, pid, poly in polygons
+    }
+
+    @pandas_udf(BooleanType())
+    def pip_contains(polygon_id: pd.Series, lat: pd.Series,
+                     lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        x, y, z = ck.latlng_deg_to_xyz(la, lo)
+        pts = np.stack([x, y, z], axis=1)
+        pids = polygon_id.to_numpy(dtype=np.int64)
+        out = np.zeros(len(pids), dtype=bool)
+        for pid in np.unique(pids):
+            mask = pids == pid
+            out[mask] = pip.polygon_contains_points(
+                loops_by_pid[int(pid)], pts[mask])
+        return pd.Series(out)
+
+    return pip_contains
+
+
+def spatial_join(pages: DataFrame, spark: SparkSession,
+                 polygons: list[tuple[str, int, Polygon]],
+                 max_cells: int = 32, strategy: str = "broadcast",
+                 nsalt: int = 8) -> DataFrame:
+    """pages(url, lat, lon, cell_id) x polygon layer -> (url, layer,
+    polygon_id).  Exactly the rows whose point is contained (SEMI_OPEN)."""
+    rows = build_covering_rows(polygons, max_cells)
+    cov = spark.createDataFrame(rows, _COV_SCHEMA)
+    levels = sorted({r[3] for r in rows})
+    # ancestor keys at each distinct covering level (pure bit math);
+    # covering cells of one polygon are disjoint, so each page matches at
+    # most one covering cell per polygon — no dedup needed.
+    parents = F.array(*[
+        (F.col("cell_id").bitwiseAND(F.lit(~(2 * (1 << (2 * (30 - lv))) - 1)))
+         .bitwiseOR(F.lit(1 << (2 * (30 - lv))))).cast("long")
+        for lv in levels
+    ])
+    probe = pages.withColumn("probe_cell", F.explode(parents))
+
+    if strategy == "broadcast":
+        joined = probe.join(
+            F.broadcast(cov.withColumnRenamed("cell_id", "probe_cell")),
+            "probe_cell", "inner")
+    elif strategy == "salted":
+        salted_cov = cov.withColumnRenamed("cell_id", "probe_cell").join(
+            spark.range(nsalt).select(F.col("id").cast("int").alias("salt")))
+        probe = probe.withColumn(
+            "salt", F.pmod(F.xxhash64("url"), F.lit(nsalt)).cast("int"))
+        joined = probe.hint("shuffle_hash").join(
+            salted_cov, ["probe_cell", "salt"], "inner")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    interior = (joined.where(F.col("is_interior"))
+                .select("url", "layer", "polygon_id"))
+    boundary = joined.where(~F.col("is_interior"))
+    pip_udf = make_pip_udf(polygons)
+    verified = (boundary
+                .where(pip_udf(F.col("polygon_id"), F.col("lat"),
+                               F.col("lon")))
+                .select("url", "layer", "polygon_id"))
+    return interior.unionByName(verified)
