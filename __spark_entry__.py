@@ -95,6 +95,19 @@ def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where(F.col("n_pages") >= 5))
 
 
+def q_cell_center_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/E7 + T1: decode the level-12 cell, compute its center, assign
+    the raster tile of the center (vector -> raster conversion)."""
+    df = _geo_pages(spark, sf_dir)
+    l12 = s2f.cell_parent(F.col("cell_id"), 12)
+    center = s2f.s2_cell_center(l12).alias("c")
+    df = df.select("url", center)
+    return df.select(
+        "url",
+        F.round("c.lat", 9).alias("center_lat_r"),
+        s2f.tile_index(F.col("c.lat"), F.col("c.lon")).alias("tile_c"))
+
+
 def q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: uniform 1-degree raster tile assignment (Tiles.kt:103-119)."""
     df = P.geoparse(P.load_pages(spark, sf_dir)).where(
@@ -138,11 +151,52 @@ def q_spatial_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                         strategy="salted")
 
 
+WITHIN_RADIUS_RAD = 100000.0 / 6371010.0  # 100 km
+
+
+def q_within_100km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 + D2/D9: pages within 100 km of a polygon (buffered covering
+    prejoin + exact point-edge distance verify)."""
+    from s2_geometry_kotlin_spark.operators.spatial_join import \
+        within_distance_join
+    return within_distance_join(_geo_pages(spark, sf_dir), spark, _layer(),
+                                WITHIN_RADIUS_RAD)
+
+
 def q_polygon_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship aggregate: contained pages per polygon."""
     return (q_spatial_join(spark, sf_dir)
             .groupBy("layer", "polygon_id")
             .agg(F.count("*").alias("n_pages")))
+
+
+def _within_oracle_sql() -> str:
+    from s2_geometry_kotlin_spark.functions.sqlgen import (
+        within_distance_ctes, xyz_sql)
+    from s2_geometry_kotlin_spark.kernel.distance import radians_to_chord2
+    max_d2 = float(radians_to_chord2(WITHIN_RADIUS_RAD))
+    return ("WITH " + P.pages_cte_duckdb() + ",\n"
+            f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+            f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+            + within_distance_ctes(_layer(), max_d2) + "\n"
+            + "SELECT url, layer, polygon_id FROM withinjoin")
+
+
+def _cell_center_tile_oracle_sql() -> str:
+    from s2_geometry_kotlin_spark.functions.sqlgen import (
+        cell_center_latlng_sql, hilbert_decode_ctes, lookup_ij_cte,
+        parent_sql)
+    henc = _henc_with()
+    return (henc + ",\n" + lookup_ij_cte() + ",\n"
+            "src12 AS (SELECT url, "
+            + parent_sql("cell_id", 12) + " AS cell_id FROM henc),\n"
+            + hilbert_decode_ctes("src12", "url") + ",\n"
+            "centers AS (SELECT url, " + cell_center_latlng_sql()
+            + " FROM hdec)\n"
+            "SELECT url, round(center_lat, 9) AS center_lat_r, "
+            "CAST(floor((center_lat - (-90.0)) / 1.0) AS BIGINT) * 360 + "
+            "CAST(floor((center_lon - (-180.0)) / 1.0) AS BIGINT) AS tile_c "
+            "FROM centers")
 
 
 def _pip_oracle_sql(select: str) -> str:
@@ -154,8 +208,49 @@ def _pip_oracle_sql(select: str) -> str:
             + pip_join_ctes(_layer()) + "\n" + select)
 
 
+# deterministic kNN query points: 8 hot cities + a coarse global grid
+def _knn_queries() -> list[tuple[int, float, float]]:
+    from s2_geometry_kotlin_spark.sources.pages import CITIES
+    pts = [(i, lat / 1e6, lon / 1e6) for i, (lat, lon) in enumerate(CITIES)]
+    qid = len(pts)
+    for lat in (-60, -30, 0, 30, 60):
+        for lon in (-150, -90, -30, 30, 90, 150):
+            pts.append((qid, float(lat), float(lon)))
+            qid += 1
+    return pts
+
+
+KNN_K = 8
+
+
+def q_knn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D5: k nearest pages per query point (radius-escalating
+    candidate join + window top-k)."""
+    from s2_geometry_kotlin_spark.operators.knn import knn_points
+    geo = _geo_pages(spark, sf_dir)
+    pages_xyz = geo.select(
+        "url", "cell_id", s2f.s2_xyz("lat", "lon").alias("p")
+    ).select("url", "cell_id", "p.x", "p.y", "p.z")
+    return knn_points(pages_xyz, spark, _knn_queries(), KNN_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from s2_geometry_kotlin_spark.operators import dedup, similarity
+    from s2_geometry_kotlin_spark.operators import textstats as ts
     return {
+        "knn_pages": q_knn_pages,
+        "token_stats": ts.q_token_stats,
+        "quality": ts.q_quality,
+        "domain_id": ts.q_domain_id,
+        "fingerprint": ts.q_fingerprint,
+        "dedup_exact": dedup.q_dedup_exact,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "embed_topk_brute": similarity.q_embed_topk_brute,
+        "embed_lsh_buckets": similarity.q_embed_lsh_buckets,
+        "embed_ann_bucketed": similarity.q_embed_ann_bucketed,
+        "within_100km": q_within_100km,
+        "cell_center_tile": q_cell_center_tile,
         "spatial_join": q_spatial_join,
         "spatial_join_salted": q_spatial_join_salted,
         "polygon_page_counts": q_polygon_page_counts,
@@ -177,7 +272,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     henc = _henc_with()
     pages = "WITH " + P.pages_cte_duckdb()
+    import numpy as _np
+
+    from s2_geometry_kotlin_spark.functions.sqlgen import xyz_sql
+    from s2_geometry_kotlin_spark.kernel import cellid as _ck
+    qrows = []
+    for qid, lat, lon in _knn_queries():
+        x, y, z = _ck.latlng_deg_to_xyz(_np.array([lat]), _np.array([lon]))
+        qrows.append(f"({qid},{float(x[0])!r},{float(y[0])!r},"
+                     f"{float(z[0])!r})")
+    knn_sql = (
+        "WITH " + P.pages_cte_duckdb() + ",\n"
+        f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+        f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+        f"qpts(query_id, qx, qy, qz) AS (VALUES {','.join(qrows)}),\n"
+        "cand AS (SELECT q.query_id, p.url, "
+        "(p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) + "
+        "(p.z-q.qz)*(p.z-q.qz) AS dist2 FROM pxyz p CROSS JOIN qpts q),\n"
+        "ranked AS (SELECT query_id, url, dist2, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY dist2, url) AS rank FROM cand)\n"
+        f"SELECT query_id, url, "
+        f"round(2.0 * 6371010.0 * asin(0.5 * sqrt(dist2)), 3) AS dist_m, "
+        f"rank FROM ranked WHERE rank <= {KNN_K}")
+    from s2_geometry_kotlin_spark.operators import dedup, similarity
+    from s2_geometry_kotlin_spark.operators import textstats as ts
     return {
+        "knn_pages": knn_sql,
+        "token_stats": ts.token_stats_sql(),
+        "quality": ts.quality_sql(),
+        "domain_id": ts.domain_id_sql(),
+        "fingerprint": ts.fingerprint_sql(),
+        "dedup_exact": dedup.dedup_exact_sql(),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
+        "minhash_lsh_pairs": dedup.minhash_lsh_sql(),
+        "embed_topk_brute": similarity.embed_topk_brute_sql(),
+        "embed_lsh_buckets": similarity.embed_lsh_buckets_sql(),
+        "embed_ann_bucketed": similarity.embed_ann_bucketed_sql(),
+        "within_100km": _within_oracle_sql(),
+        "cell_center_tile": _cell_center_tile_oracle_sql(),
         "spatial_join": _pip_oracle_sql(
             "SELECT url, layer, polygon_id FROM pipjoin"),
         "spatial_join_salted": _pip_oracle_sql(

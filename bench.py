@@ -1,0 +1,99 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line.
+
+The pages table is the sf documents replicated deterministically
+(REPLICATE x) to benchmark-meaningful volume; all compute is forced with
+a noop write (no collect of bulk data to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+REPLICATE = int(os.environ.get("S2_BENCH_REPLICATE", "400"))
+
+
+def build_session(cpus: int):
+    from s2_geometry_kotlin_spark.session import get_spark
+    spark = get_spark("s2-bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
+    from s2_geometry_kotlin_spark import functions as s2f
+    from s2_geometry_kotlin_spark.operators.spatial_join import spatial_join
+    from s2_geometry_kotlin_spark.sources import pages as P
+    from s2_geometry_kotlin_spark.sources.layers import fixture_layer
+
+    pages = P.load_pages(spark, sf_dir, replicate=REPLICATE)
+    n_pages = pages.count()
+    geo = (P.geoparse(pages).where(F.col("lat").isNotNull())
+           .select("url", "lat", "lon")
+           .withColumn("cell_id", s2f.s2_cellid("lat", "lon"))
+           .cache())
+    layer = fixture_layer()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: geocode (geoparse + leaf cell assignment, full scan) —
+    # materialized once, downstream queries reuse the cached table as a
+    # real pipeline would
+    timed("geocode", lambda: force(geo))
+    # q2: levels 0-30 parent rollup at l8 (bit math + agg)
+    timed("cell_rollup", lambda: force(
+        geo.groupBy(s2f.cell_parent(F.col("cell_id"), 8).alias("cell_l8"))
+           .agg(F.count("*").alias("n"))))
+    # q3: full spatial join (broadcast)
+    timed("spatial_join", lambda: force(
+        spatial_join(geo, spark, layer, strategy="broadcast")))
+    # q4: salted shuffle spatial join (skew plan)
+    timed("spatial_join_salted", lambda: force(
+        spatial_join(geo, spark, layer, strategy="salted")))
+    # q5: raster tile assignment
+    timed("tile_index", lambda: force(
+        geo.select("url", s2f.tile_index(F.col("lat"),
+                                         F.col("lon")).alias("tile"))))
+    return timings, n_pages
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(cpus)
+    t0 = time.time()
+    timings, n_pages = run_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    join_secs = timings.get("spatial_join", 1.0)
+    geocode_secs = timings.get("geocode", 1.0)
+    out = {
+        "metric": "headline query wall time (geocode + joins + rollups)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "pages": n_pages,
+        "cpus": cpus,
+        "pages_per_sec_geocode_join": round(
+            n_pages / max(1e-9, geocode_secs + join_secs), 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

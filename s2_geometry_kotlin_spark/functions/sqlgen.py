@@ -128,6 +128,78 @@ pij AS (SELECT {key_cols}, face,
 {hilbert_encode_ctes('pij', key_cols)}"""
 
 
+def lookup_ij_cte(name: str = "lutij") -> str:
+    from ..kernel.tables import LOOKUP_IJ
+    rows = ",".join(f"({k},{int(v)})" for k, v in enumerate(LOOKUP_IJ))
+    return f"{name}(lk, lv) AS (VALUES {rows})"
+
+
+def hilbert_decode_ctes(src: str, key_cols: str) -> str:
+    """Inverse of hilbert_encode_ctes: cte `src` must carry (key_cols,
+    cell_id).  Emits d7..d0 and `hdec(key_cols, face, i, j)` —
+    S2CellId.toFaceIJOrientation (S2CellId.kt:808-849).
+
+    Works on the signed bit pattern: (id >> s) & mask equals the logical
+    shift's low bits for mask < 2^boundary, and face needs the top 3 bits
+    via the same trick."""
+    ctes = []
+    prev = src
+    for k in range(7, -1, -1):
+        name = f"d{k}"
+        nbits = 2 if k == 7 else 4
+        mask = (1 << (2 * nbits)) - 1
+        if k == 7:
+            face = "((cell_id >> 61) & 7)"
+            bits_in = f"({face} & 1)"
+            i_in, j_in = "0", "0"
+            carry = f"cell_id, {face} AS face"
+        else:
+            bits_in = "bits"
+            i_in, j_in = "i", "j"
+            carry = "cell_id, face"
+        ctes.append(f"""{name} AS (
+  SELECT {key_cols}, {carry},
+         {i_in} + ((lutij.lv >> 6) << {k * 4}) AS i,
+         {j_in} + (((lutij.lv >> 2) & 15) << {k * 4}) AS j,
+         lutij.lv & 3 AS bits
+  FROM {prev}
+  JOIN lutij ON lutij.lk = {bits_in}
+                + (((cell_id >> {k * 8 + 1}) & {mask}) << 2)
+)""")
+        prev = name
+    ctes.append(f"hdec AS (SELECT {key_cols}, cell_id, face, i, j FROM d0)")
+    return ",\n".join(ctes)
+
+
+def cell_center_latlng_sql() -> str:
+    """SELECT-fragment over hdec columns (cell_id, face, i, j) computing
+    the cell-center lat/lon degrees (centerSiTi -> faceSiTiToXyz ->
+    atan2; S2CellId.kt:170-199, S2Coords.kt:467-471)."""
+    # delta: 1 if leaf, else 2 if ((i XOR (id>>2)) & 1) else 0
+    delta = ("CASE WHEN (cell_id & 1) = 1 THEN 1 "
+             "WHEN (xor(i, cell_id >> 2) & 1) = 1 THEN 2 ELSE 0 END")
+    si = f"(2 * i + {delta})"
+    ti = f"(2 * j + {delta})"
+    max_si_ti = 2.0 * (1 << 30)
+    u = st_sql_inverse(f"({si} / {max_si_ti!r})")
+    v = st_sql_inverse(f"({ti} / {max_si_ti!r})")
+    x = (f"CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -({u}) WHEN 2 THEN -({u})"
+         f" WHEN 3 THEN -1.0 WHEN 4 THEN ({v}) ELSE ({v}) END")
+    y = (f"CASE face WHEN 0 THEN ({u}) WHEN 1 THEN 1.0 WHEN 2 THEN -({v})"
+         f" WHEN 3 THEN -({v}) WHEN 4 THEN -1.0 ELSE ({u}) END")
+    z = (f"CASE face WHEN 0 THEN ({v}) WHEN 1 THEN ({v}) WHEN 2 THEN 1.0"
+         f" WHEN 3 THEN -({u}) WHEN 4 THEN -({u}) ELSE -1.0 END")
+    return (f"degrees(atan2(({z}), sqrt(({x})*({x}) + ({y})*({y})))) "
+            f"AS center_lat, "
+            f"degrees(atan2(({y}), ({x}))) AS center_lon")
+
+
+def st_sql_inverse(s: str) -> str:
+    """Quadratic stToUv (S2QuadraticProjection.kt:36-39)."""
+    return (f"CASE WHEN {s} >= 0.5 THEN (1.0/3.0) * (4 * {s} * {s} - 1) "
+            f"ELSE (1.0/3.0) * (1 - 4 * (1 - {s}) * (1 - {s})) END")
+
+
 def parent_sql(cell_id: str, level: int) -> str:
     """Ancestor id at `level` via bit math (S2CellId.kt:356-373).
 
@@ -229,6 +301,78 @@ pipjoin AS (
   SELECT c.url, m.layer, c.polygon_id
   FROM pipcross c JOIN polymeta m ON m.polygon_id = c.polygon_id
   WHERE (c.ncross % 2 = 1) <> m.origin_inside
+)"""
+
+
+def within_distance_ctes(polygons, max_d2: float) -> str:
+    """CTE chain for the buffered join oracle: pages within sqrt-chord
+    distance of a polygon (contained OR min point-edge chord2 <= max_d2).
+
+    Expects cte `pxyz(url, x, y, z)`; emits cte
+    `withinjoin(url, layer, polygon_id)`.  Edge constants (vertices, edge
+    normals N=CxD, NxC, DxN, |N|^2) are inlined data; the interior/
+    endpoint distance selection replicates kernel/distance.py
+    point_edge_chord2 term-for-term so boundary verdicts agree.
+    """
+    from ..kernel import pip as _pip
+
+    edge_rows = []
+    meta_rows = []
+    for layer, pid, poly in polygons:
+        oi = False
+        for lp in poly.loops:
+            verts = lp.vertices
+            oi ^= _pip.compute_origin_inside(verts)
+            n = len(verts)
+            for i in range(n):
+                c = verts[i]
+                d = verts[(i + 1) % n]
+                e = np.cross(c, d)
+                na = np.cross(e, c)
+                bn = np.cross(d, e)
+                n2 = float(e @ e)
+                edge_rows.append(
+                    f"({pid},{c[0]!r},{c[1]!r},{c[2]!r},"
+                    f"{d[0]!r},{d[1]!r},{d[2]!r},"
+                    f"{e[0]!r},{e[1]!r},{e[2]!r},"
+                    f"{na[0]!r},{na[1]!r},{na[2]!r},"
+                    f"{bn[0]!r},{bn[1]!r},{bn[2]!r},{n2!r})")
+        meta_rows.append(f"({pid},'{layer}',{str(oi).upper()})")
+
+    pip_part = pip_join_ctes(polygons)
+    return f"""{pip_part},
+distedges(polygon_id, cx, cy, cz, dx, dy, dz, ex, ey, ez,
+          nax, nay, naz, bnx, bny, bnz, n2) AS (
+  VALUES {','.join(edge_rows)}
+),
+edist AS (
+  SELECT p.url, e.polygon_id,
+    min(CASE WHEN (p.x*e.nax + p.y*e.nay + p.z*e.naz > 0)
+              AND (p.x*e.bnx + p.y*e.bny + p.z*e.bnz > 0)
+        THEN least(
+          2.0 * (1.0 - sqrt(1.0 - least(1.0, greatest(0.0,
+            (p.x*e.ex + p.y*e.ey + p.z*e.ez) *
+            (p.x*e.ex + p.y*e.ey + p.z*e.ez) / e.n2)))),
+          least(
+            least(4.0, greatest(0.0,
+              2.0 - 2.0*(p.x*e.cx + p.y*e.cy + p.z*e.cz))),
+            least(4.0, greatest(0.0,
+              2.0 - 2.0*(p.x*e.dx + p.y*e.dy + p.z*e.dz)))))
+        ELSE least(
+            least(4.0, greatest(0.0,
+              2.0 - 2.0*(p.x*e.cx + p.y*e.cy + p.z*e.cz))),
+            least(4.0, greatest(0.0,
+              2.0 - 2.0*(p.x*e.dx + p.y*e.dy + p.z*e.dz))))
+        END) AS min_d2
+  FROM pxyz p CROSS JOIN distedges e
+  GROUP BY 1, 2
+),
+withinjoin AS (
+  SELECT e.url, m.layer, e.polygon_id
+  FROM edist e JOIN polymeta m ON m.polygon_id = e.polygon_id
+  WHERE e.min_d2 <= {max_d2!r}
+     OR EXISTS (SELECT 1 FROM pipjoin pj
+                WHERE pj.url = e.url AND pj.polygon_id = e.polygon_id)
 )"""
 
 

@@ -82,9 +82,12 @@ def xyz_to_face_uv(x, y, z):
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     # largestAbsComponent tie-breaking exactly as the reference:
     # if ax > ay: (0 if ax > az else 2) else (1 if ay > az else 2)
-    axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    # (arithmetic instead of nested scalar np.where — see predicates.py)
+    c_x = (ax > ay) & (ax > az)
+    c_y = ~(ax > ay) & (ay > az)
+    axis = (2 - 2 * c_x.astype(np.int64) - c_y.astype(np.int64))
     comp = np.select([axis == 0, axis == 1], [x, y], z)
-    face = np.where(comp < 0, axis + 3, axis).astype(np.int64)
+    face = axis + (comp < 0).astype(np.int64) * 3
 
     fsel = [face == f for f in range(6)]
     u_num = np.select(fsel, [y, -x, -x, z, z, -y])
@@ -378,7 +381,8 @@ def center_si_ti(ids):
     face, i, j = to_face_ij_orientation(ids)
     leaf = is_leaf(ids)
     second = ((i ^ (ids.astype(np.int64) >> np.int64(2))) & 1) != 0
-    delta = np.where(leaf, 1, np.where(second, 2, 0)).astype(np.int64)
+    delta = leaf.astype(np.int64) + \
+        ((~leaf) & second).astype(np.int64) * 2
     return face, 2 * i + delta, 2 * j + delta
 
 

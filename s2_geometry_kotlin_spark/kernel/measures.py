@@ -1,0 +1,168 @@
+"""Spherical measures (SURVEY.md §2.6 M1-M5).
+
+Triangle angle/turn-angle/area (Girard + L'Huilier ladder,
+dilivia/s2/S2Measures.kt:39-161), loop area via signed surface integral
+with Gauss-Bonnet sign check (dilivia/s2/region/S2LoopMeasures.kt:95-300),
+true centroids (dilivia/s2/S2Centroids.kt:68-143).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import predicates as pred
+
+
+def _robust_cross(a, b):
+    x = np.cross(b + a, b - a)
+    n = np.linalg.norm(x)
+    if n == 0.0:
+        return pred.ortho(a)
+    return x
+
+
+def _vec_angle(u, v):
+    """Numerically stable angle between vectors (atan2 form)."""
+    return math.atan2(np.linalg.norm(np.cross(u, v)), float(u @ v))
+
+
+def angle(a, b, c) -> float:
+    """M1: interior angle at vertex B (S2Measures.kt:39-44)."""
+    return _vec_angle(_robust_cross(a, b), _robust_cross(c, b))
+
+
+def turn_angle(a, b, c) -> float:
+    """Exterior (turning) angle at B; positive for CCW turns."""
+    ang = _vec_angle(_robust_cross(a, b), _robust_cross(b, c))
+    return ang if pred.sign(a, b, c) > 0 else -ang
+
+
+def girard_area(a, b, c) -> float:
+    ab = _robust_cross(a, b)
+    bc = _robust_cross(b, c)
+    ac = _robust_cross(a, c)
+    return max(0.0, _vec_angle(ab, ac) - _vec_angle(ab, bc) +
+               _vec_angle(bc, ac))
+
+
+def triangle_area(a, b, c) -> float:
+    """L'Huilier with Girard fallback for skinny triangles
+    (S2Measures.kt:80-135)."""
+    sa = _vec_angle(b, c)
+    sb = _vec_angle(c, a)
+    sc = _vec_angle(a, b)
+    s = 0.5 * (sa + sb + sc)
+    if s >= 3e-4:
+        s2 = s * s
+        dmin = s - max(sa, sb, sc)
+        if dmin < 1e-2 * s * s2 * s2:
+            area = girard_area(a, b, c)
+            if dmin < s * (0.1 * (area + 5e-15)):
+                return area
+    return 4.0 * math.atan(math.sqrt(max(
+        0.0, math.tan(0.5 * s) * math.tan(0.5 * (s - sa)) *
+        math.tan(0.5 * (s - sb)) * math.tan(0.5 * (s - sc)))))
+
+
+def signed_triangle_area(a, b, c) -> float:
+    return pred.sign(a, b, c) * triangle_area(a, b, c)
+
+
+def loop_curvature(vertices: np.ndarray) -> float:
+    """Gauss-Bonnet curvature: sum of turn angles (Kahan summation,
+    S2LoopMeasures.kt:264-301; canonical-order refinement omitted — the
+    effect is bounded by the 9.73*eps*n error bound)."""
+    n = len(vertices)
+    if n == 0:
+        return -2 * math.pi
+    if n < 3:
+        # empty (z>0) / full (z<0) convention of the 1-vertex loops
+        return 2 * math.pi if vertices[0][2] >= 0 else -2 * math.pi
+    total = 0.0
+    comp = 0.0
+    for i in range(n):
+        ang = turn_angle(vertices[(i - 1) % n], vertices[i],
+                         vertices[(i + 1) % n])
+        ang += comp
+        old = total
+        total += ang
+        comp = (old - total) + ang
+    total += comp
+    return max(-2 * math.pi, min(2 * math.pi, total))
+
+
+def loop_signed_area(vertices: np.ndarray) -> float:
+    """Signed surface integral over fan triangles from vertex 0, with the
+    Gauss-Bonnet sign cross-check (S2LoopMeasures.kt:95-160)."""
+    n = len(vertices)
+    if n < 3:
+        if n == 1 and vertices[0][2] < 0:
+            return -4 * math.pi  # full loop sentinel
+        return 0.0
+    area = 0.0
+    for i in range(1, n - 1):
+        area += signed_triangle_area(vertices[0], vertices[i],
+                                     vertices[i + 1])
+    # normalize into [-2pi, 2pi]
+    while area > 2 * math.pi:
+        area -= 4 * math.pi
+    while area < -2 * math.pi:
+        area += 4 * math.pi
+    max_error = 9.73 * 2.22e-16 * n
+    if abs(area) <= max_error:
+        curv = loop_curvature(vertices)
+        if (area >= 0) != (curv >= 0):
+            area = -area
+    return area
+
+
+def loop_area(vertices: np.ndarray) -> float:
+    """Positive area in [0, 4pi] (S2LoopMeasures.kt:62-67)."""
+    a = loop_signed_area(vertices)
+    if len(vertices) == 1 and vertices[0][2] < 0:
+        return 4 * math.pi
+    if a < 0:
+        a += 4 * math.pi
+    return a
+
+
+def true_centroid_triangle(a, b, c) -> np.ndarray:
+    """Area-weighted true centroid (S2Centroids.kt:87-126)."""
+    angle_a = _vec_angle(b, c)
+    angle_b = _vec_angle(c, a)
+    angle_c = _vec_angle(a, b)
+    ra = 1.0 if angle_a == 0.0 else angle_a / math.sin(angle_a)
+    rb = 1.0 if angle_b == 0.0 else angle_b / math.sin(angle_b)
+    rc = 1.0 if angle_c == 0.0 else angle_c / math.sin(angle_c)
+    x = np.array([a[0], b[0] - a[0], c[0] - a[0]])
+    y = np.array([a[1], b[1] - a[1], c[1] - a[1]])
+    z = np.array([a[2], b[2] - a[2], c[2] - a[2]])
+    r = np.array([ra, rb - ra, rc - ra])
+    return 0.5 * np.array([float(np.cross(y, z) @ r),
+                           float(np.cross(z, x) @ r),
+                           float(np.cross(x, y) @ r)])
+
+
+def loop_centroid(vertices: np.ndarray) -> np.ndarray:
+    """Area-weighted centroid: signed fan sum (S2LoopMeasures.kt:336+)."""
+    n = len(vertices)
+    out = np.zeros(3)
+    for i in range(1, n - 1):
+        s = pred.sign(vertices[0], vertices[i], vertices[i + 1])
+        out += s * true_centroid_triangle(vertices[0], vertices[i],
+                                          vertices[i + 1])
+    return out
+
+
+def polygon_area(loops: list[np.ndarray]) -> float:
+    """M3: multi-loop area = sum of signed loop areas (holes are
+    reverse-oriented loops), normalized into [0, 4pi]
+    (S2Polygon.kt:509-525)."""
+    total = sum(loop_signed_area(v) for v in loops)
+    while total < 0:
+        total += 4 * math.pi
+    while total > 4 * math.pi:
+        total -= 4 * math.pi
+    return total

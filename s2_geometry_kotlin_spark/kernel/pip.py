@@ -40,34 +40,44 @@ def loop_contains_points(vertices: np.ndarray, points: np.ndarray,
         return np.full(m, origin_inside)
     a = pred.ORIGIN
     c, d = _close_ring(vertices)
+    err = pred.MAX_DET_ERROR
 
-    # s1[j, i] = triage sign(A, P_j, V_i) ; reused for edge endpoints
-    a_cross_p = np.cross(a[None, :], points)            # (m,3)
-    det1 = a_cross_p @ vertices.T                       # (m,n)
-    s1 = pred.triage_sign_dets(det1)
-    s1c = s1                                            # sign(A,P,C_i)
-    s1d = np.roll(s1, -1, axis=1)                       # sign(A,P,D_i)
+    # det1[j, i] = (A x P_j) . V_i  (triage det of sign(A, P_j, V_i));
+    # the cross product is written out component-wise and the big (m,n)
+    # products go through BLAS matmuls — numpy's generic np.cross and
+    # int-typed sign arrays are ~10x slower on the hot path.
+    op = np.empty_like(points)
+    op[:, 0] = a[1] * points[:, 2] - a[2] * points[:, 1]
+    op[:, 1] = a[2] * points[:, 0] - a[0] * points[:, 2]
+    op[:, 2] = a[0] * points[:, 1] - a[1] * points[:, 0]
+    det1c = op @ vertices.T                            # (m,n) sign(A,P,C)
+    det1d = np.roll(det1c, -1, axis=1)                 # sign(A,P,D)
+    e = np.cross(c, d)                                 # (n,3), small
+    det2 = e @ a                                       # (n,)  sign(C,D,A)
+    det3 = points @ e.T                                # (m,n) sign(C,D,P)
 
-    # s2[i] = sign(C_i, D_i, A);  s3[j, i] = sign(C_i, D_i, P_j)
-    e = np.cross(c, d)                                  # (n,3)
-    s2 = pred.triage_sign_dets(e @ a)                   # (n,)
-    s3 = pred.triage_sign_dets(points @ e.T)            # (m,n)
+    pos1c = det1c > err
+    neg1c = det1c < -err
+    pos1d = np.roll(pos1c, -1, axis=1)
+    neg1d = np.roll(neg1c, -1, axis=1)
+    pos3 = det3 > err
+    neg3 = det3 < -err
+    pos2 = det2 > err
+    neg2 = det2 < -err
 
-    # interior crossing iff with t = -sign(A,P,C):
-    #   sign(A,P,D) == t and -sign(C,D,P) == t and sign(C,D,A) == t
-    t = -s1c
-    crossing = (s1d == t) & (-s3 == t) & (s2[None, :] == t) & (t != 0)
+    # interior crossing with t = -sign(A,P,C):
+    #   sign(A,P,D) == t  AND  sign(C,D,P) == sign(A,P,C)  AND
+    #   sign(C,D,A) == t        (all strictly nonzero)
+    crossing = ((pos1d & neg1c) | (neg1d & pos1c)) & \
+               ((pos3 & pos1c) | (neg3 & neg1c)) & \
+               ((pos2[None, :] & neg1c) | (neg2[None, :] & pos1c))
 
-    # escalation mask: any uncertain triage among the four signs, or any
-    # exact vertex coincidence P == C or P == D
-    uncertain = (s1c == 0) | (s1d == 0) | (s3 == 0) | (s2[None, :] == 0)
-    eq_c = np.all(points[:, None, :] == c[None, :, :], axis=2)
-    eq_d = np.all(points[:, None, :] == d[None, :, :], axis=2)
-    needs_exact = uncertain | eq_c | eq_d
-    # also: P == ORIGIN or P == -anything degenerate resolves in scalar path
-
-    if needs_exact.any():
-        js, iss = np.nonzero(needs_exact)
+    # escalate where any triage is uncertain; exact vertex coincidences
+    # (P == C/D) force det1 to ~0 and are caught by the same mask
+    uncertain = (~(pos1c | neg1c)) | (~(pos1d | neg1d)) | \
+                (~(pos3 | neg3)) | (~(pos2 | neg2))[None, :]
+    if uncertain.any():
+        js, iss = np.nonzero(uncertain)
         for j, i in zip(js.tolist(), iss.tolist()):
             crossing[j, i] = pred.edge_or_vertex_crossing(
                 a, points[j], c[i], d[i])

@@ -44,9 +44,13 @@ def ortho(a: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def triage_sign_dets(dets: np.ndarray) -> np.ndarray:
-    """Vectorized triage: +-1 where certain, 0 where uncertain."""
-    return np.where(dets > MAX_DET_ERROR, 1,
-                    np.where(dets < -MAX_DET_ERROR, -1, 0)).astype(np.int8)
+    """Vectorized triage: +-1 where certain, 0 where uncertain.
+
+    (comparison arithmetic, NOT nested np.where with python int scalars —
+    the latter hits a ~200x value-based-casting slow path in numpy 1.x)
+    """
+    return (dets > MAX_DET_ERROR).astype(np.int8) - \
+        (dets < -MAX_DET_ERROR).astype(np.int8)
 
 
 def _stable_sign(a, b, c) -> int:

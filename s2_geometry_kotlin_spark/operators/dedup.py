@@ -1,0 +1,157 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact dedup (hash groupBy), n-gram Jaccard pair detection, and
+MinHash+LSH (shingle -> per-band min hash -> bucket join -> verified
+Jaccard).  All JVM-side Spark SQL; md5 is the cross-engine hash (Spark
+and DuckDB produce identical digests).
+
+Scale notes (100 TB): exact dedup is one hash aggregate (map-side
+partials).  The shingle pair join only materializes (shingle, doc) pairs
+and self-joins per shingle — the classic quadratic blowup is bounded by
+per-shingle fan-out, and MinHash-LSH is the scale path that replaces the
+full pair join with band-bucket joins (constant work per doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SHINGLE_WORDS = 3
+JACCARD_THRESHOLD = 0.5
+N_BANDS = 8
+
+_W = "string_split_regex(trim(text), ' +')"
+
+
+def _shingles_spark():
+    w = F.split(F.trim(F.col("text")), " +")
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size(w) - F.lit(SHINGLE_WORDS - 1),
+                              F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, SHINGLE_WORDS))))
+
+
+_SHINGLES_SQL = (f"list_distinct(list_transform("
+                 f"range(1, greatest(len({_W}) - {SHINGLE_WORDS - 1}, 1)"
+                 f" + 1), i -> array_to_string("
+                 f"list_slice({_W}, i, i + {SHINGLE_WORDS - 1}), ' ')))")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one keeper per distinct text (min doc_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def dedup_exact_sql() -> str:
+    return ("SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, "
+            "count(*) AS n_copies FROM documents GROUP BY 1")
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select("doc_id",
+                        F.explode(_shingles_spark()).alias("shingle")))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with word-3-gram Jaccard >= 0.5 (a < b)."""
+    sh = _shingle_rows(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                     (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("n_shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    jac = (shared.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_shared") /
+               (F.col("na") + F.col("nb") - F.col("n_shared")), 6)))
+    return (jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates: per-band min hash over salted shingle
+    md5s; pairs sharing any band bucket, with verified Jaccard."""
+    sh = _shingle_rows(spark, sf_dir)
+    banded = (sh.join(spark.range(N_BANDS)
+                      .select(F.col("id").cast("int").alias("band")))
+              .groupBy("doc_id", "band")
+              .agg(F.min(F.md5(F.concat_ws("#", "shingle", "band")))
+                   .alias("minhash")))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
+                   (F.col("x.minhash") == F.col("y.minhash")) &
+                   (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    # verify candidates with the exact Jaccard
+    verified = cand.join(q_ngram_jaccard_pairs(spark, sf_dir),
+                         ["doc_a", "doc_b"], "inner")
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_lsh_sql() -> str:
+    return f"""WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+banded AS (
+  SELECT doc_id, band,
+         min(md5(shingle || '#' || CAST(band AS VARCHAR))) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range({N_BANDS})) AS band)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.minhash = y.minhash
+   AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM cand c
+JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}"""

@@ -1,0 +1,122 @@
+"""Distributed kNN (SURVEY.md §2.5 D4/D5).
+
+The reference's S2ClosestPointQuery/S2ClosestEdgeQuery best-first search
+(S2ClosestEdgeQueryBase.kt:68-341) is a single-node priority-queue walk;
+the distributed re-expression replaces it with candidate-set pruning:
+
+1. seed radius from global point density (cell metrics E18),
+2. per-query cap covering at a matching level (driver-side; queries are
+   small), exploded to (query_id, covering cell) rows,
+3. candidate join: pages probed by ancestor-cell equality (broadcast hash
+   join — the pages side never shuffles),
+4. exact chord distances as pure Column arithmetic (xyz computed once by
+   the Arrow kernel UDF; dist2 = (dx^2+dy^2)+dz^2 stays in codegen),
+5. Window.partitionBy(query).orderBy(dist2) row_number <= k,
+6. driver-side escalation: queries whose k-th distance exceeds the
+   covered radius (or with < k results) retry with doubled radius.
+
+maxError / early-exit of the reference are single-node optimizations that
+candidate pruning replaces (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..kernel import cellid as ck
+from ..kernel import distance as dist
+from ..kernel import metrics
+from ..kernel.coverer import RegionCoverer
+from ..kernel.regions import Cap
+
+
+def _query_covering_rows(queries: list[tuple[int, float, float]],
+                         radius_rad: float, max_cells: int = 16):
+    """(query_id, qx, qy, qz, cell_id, level) covering rows, driver-side."""
+    coverer = RegionCoverer(max_cells=max_cells)
+    rows = []
+    r2 = float(dist.radians_to_chord2(radius_rad))
+    for qid, lat, lon in queries:
+        x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lon]))
+        cap = Cap(np.array([x[0], y[0], z[0]]), r2)
+        for cid in coverer.get_covering(cap):
+            signed = cid - (1 << 64) if cid >= (1 << 63) else cid
+            rows.append((qid, float(x[0]), float(y[0]), float(z[0]),
+                         signed, ck.sc_level(cid)))
+    return rows
+
+
+def knn_points(pages_xyz: DataFrame, spark: SparkSession,
+               queries: list[tuple[int, float, float]], k: int,
+               initial_radius_rad: float | None = None,
+               n_pages_hint: int | None = None) -> DataFrame:
+    """k nearest pages per query point.
+
+    pages_xyz: DataFrame(url, x, y, z, cell_id) — cached by the caller if
+    reused.  queries: [(query_id, lat_deg, lon_deg)].
+    Returns (query_id, url, dist2, rank), rank 1..k by (dist2, url).
+    """
+    if initial_radius_rad is None:
+        n = n_pages_hint or pages_xyz.count()
+        # expected area holding ~4k points, uniform-density estimate
+        area = 4.0 * math.pi * min(1.0, 4.0 * k / max(1, n))
+        initial_radius_rad = max(1e-4, math.sqrt(area / math.pi))
+
+    remaining = list(queries)
+    radius = initial_radius_rad
+    results: DataFrame | None = None
+    while remaining:
+        rows = _query_covering_rows(remaining, radius)
+        cov = spark.createDataFrame(
+            rows, "query_id long, qx double, qy double, qz double, "
+                  "cell_id long, level int")
+        levels = sorted({r[5] for r in rows})
+        parents = F.array(*[
+            (F.col("cell_id").bitwiseAND(
+                F.lit(~(2 * (1 << (2 * (30 - lv))) - 1)))
+             .bitwiseOR(F.lit(1 << (2 * (30 - lv))))).cast("long")
+            for lv in levels
+        ])
+        probe = pages_xyz.withColumn("probe_cell", F.explode(parents))
+        cand = probe.join(
+            F.broadcast(cov.withColumnRenamed("cell_id", "probe_cell")),
+            "probe_cell", "inner")
+        dx = F.col("x") - F.col("qx")
+        dy = F.col("y") - F.col("qy")
+        dz = F.col("z") - F.col("qz")
+        cand = cand.withColumn("dist2", dx * dx + dy * dy + dz * dz)
+        w = Window.partitionBy("query_id").orderBy("dist2", "url")
+        # distance in meters rounded to mm: rank stays exact-FP, the
+        # reported value is robust to last-ulp trig differences
+        dist_m = F.round(
+            F.lit(2.0 * dist.EARTH_RADIUS_METERS) *
+            F.asin(F.lit(0.5) * F.sqrt(F.col("dist2"))), 3)
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "url", F.col("dist2"),
+                        dist_m.alias("dist_m"), "rank"))
+        got = topk.groupBy("query_id").agg(
+            F.count("*").alias("n"), F.max("dist2").alias("kth")).collect()
+        covered2 = float(dist.radians_to_chord2(radius))
+        done_ids = {r["query_id"] for r in got
+                    if r["n"] >= k and r["kth"] <= covered2}
+        done_df = topk.where(F.col("query_id").isin(list(done_ids))) \
+            if done_ids else None
+        if done_df is not None:
+            results = done_df if results is None else \
+                results.unionByName(done_df)
+        remaining = [q for q in remaining if q[0] not in done_ids]
+        radius = min(math.pi, radius * 2.0)
+        if radius >= math.pi and remaining:
+            # terminal: whole sphere covered — emit whatever we have
+            last = topk.where(~F.col("query_id").isin(list(done_ids))) \
+                if done_ids else topk
+            results = last if results is None else results.unionByName(last)
+            break
+    if results is None:
+        return None
+    return results.select("query_id", "url", "dist_m", "rank")

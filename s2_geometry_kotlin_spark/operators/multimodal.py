@@ -1,0 +1,114 @@
+"""Multimodal (image/audio) column plumbing.
+
+Media ride as opaque `binary` columns with typed metadata structs; the
+decode / feature-extract / resize / frame-sample stages are mapInPandas
+operators with real schemas, partitioning, and Arrow batch flow.  The
+sandbox has no image/audio codecs, so the *decode* step is stubbed: with
+``deterministic_fake=True`` it derives pixel/sample statistics from a
+hash of the bytes (stable, testable plumbing); otherwise it raises
+NotImplementedError where a codec (PIL / libsndfile) would be invoked.
+
+At 100 TB scale the notable choices are:
+- media bytes never pass through the driver; all stages are
+  mapInPandas over the scan,
+- batch size is controlled by spark.sql.execution.arrow.maxRecordsPerBatch
+  (heavy rows -> smaller batches),
+- extracted features are small fixed-width columns so downstream
+  aggregation shuffles never carry the blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),          # image | audio
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),        # typed metadata
+    StructField("height", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+])
+
+FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("mean_intensity", DoubleType()),
+    StructField("std_intensity", DoubleType()),
+    StructField("phash64", LongType()),
+])
+
+
+def synth_media(spark, n: int = 256) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        kind = "image" if i % 3 else "audio"
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
+        rows.append((i, kind, bytearray(payload),
+                     64 + i % 128, 64 + (i * 7) % 128, 16000))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a codec: bytes -> uint8 'pixels'."""
+    return np.frombuffer(bytes(payload), dtype=np.uint8)
+
+
+def extract_features(df: DataFrame,
+                     deterministic_fake: bool = True) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "media codecs are not available in this "
+                        "environment; run with deterministic_fake=True")
+                px = _fake_decode(row["payload"])
+                h = hashlib.md5(bytes(row["payload"])).digest()[:8]
+                out.append((
+                    row["media_id"], row["kind"], len(row["payload"]),
+                    float(px.mean()), float(px.std()),
+                    int.from_bytes(h, "big", signed=True),
+                ))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling': one row per sampled offset, blob-free output —
+    the shuffle after this carries only (media_id, offset, frame_hash)."""
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("offset", LongType()),
+        StructField("frame_md5", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row["payload"])
+                for off in range(0, len(data), every_n_bytes):
+                    chunk = data[off:off + every_n_bytes]
+                    rows.append((row["media_id"], off,
+                                 hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=["media_id", "offset",
+                                              "frame_md5"])
+
+    return df.mapInPandas(run, schema)

@@ -1,0 +1,168 @@
+"""Embedding similarity search (brute-force + sign-LSH bucketed ANN).
+
+Brute-force cosine top-k is the correctness baseline (broadcast the small
+query set, cross join, window top-k).  The scale path buckets vectors by
+random-hyperplane sign-LSH so candidate generation is an equi-join on
+bucket — at 10^12 rows the cross join disappears and each query probes
+only its bucket (plus optionally neighboring buckets for recall).
+
+All vector math stays in Spark SQL higher-order functions (zip_with /
+aggregate over array<double>) — JVM codegen, no Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_K = 10
+QUERY_MOD = 53          # query set = vec_id % QUERY_MOD == 0
+N_PLANES = 8
+DIM = 64
+
+# deterministic hyperplanes, inlined identically into Spark and DuckDB
+_rng = np.random.default_rng(7)
+PLANES = _rng.standard_normal((N_PLANES, DIM)).round(6)
+
+
+def _emb_double():
+    return F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _emb_double()
+    return emb.select("vec_id", e.alias("v"),
+                      F.sqrt(_dot(e, e)).alias("norm"))
+
+
+def q_embed_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the deterministic query subset."""
+    vecs = _load(spark, sf_dir)
+    queries = (vecs.where(F.col("vec_id") % QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm")))
+    cand = (vecs.crossJoin(F.broadcast(queries))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", _dot(F.col("v"), F.col("qv")) /
+                        (F.col("norm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cosine", 6).alias("cosine_r")))
+
+
+def embed_topk_brute_sql() -> str:
+    return f"""WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vecs
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT q.query_id, x.vec_id,
+         list_dot_product(x.v, q.qv) / (x.norm * q.qnorm) AS cosine
+  FROM vecs x CROSS JOIN queries q
+  WHERE x.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _plane_array(i: int):
+    return F.array(*[F.lit(float(v)) for v in PLANES[i]])
+
+
+def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket id per vector (the ANN partitioning key)."""
+    vecs = _load(spark, sf_dir)
+    bucket = F.lit(0)
+    for i in range(N_PLANES):
+        bit = F.when(_dot(F.col("v"), _plane_array(i)) > 0,
+                     F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return vecs.select("vec_id", bucket.alias("bucket"))
+
+
+def embed_lsh_buckets_sql() -> str:
+    bits = []
+    for i in range(N_PLANES):
+        plane = "[" + ",".join(repr(float(v)) for v in PLANES[i]) + "]"
+        bits.append(f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                    f"{plane}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END")
+    return (f"SELECT vec_id, {' + '.join(bits)} AS bucket "
+            f"FROM embeddings")
+
+
+def q_embed_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: cosine top-k restricted to the query's LSH bucket
+    (equi-join on bucket — the 10^12-row plan shape)."""
+    vecs = _load(spark, sf_dir)
+    buckets = q_embed_lsh_buckets(spark, sf_dir)
+    vb = vecs.join(buckets, "vec_id")
+    queries = (vb.where(F.col("vec_id") % QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm"),
+                       F.col("bucket")))
+    cand = (vb.join(F.broadcast(queries), "bucket")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", _dot(F.col("v"), F.col("qv")) /
+                        (F.col("norm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cosine", 6).alias("cosine_r")))
+
+
+def embed_ann_bucketed_sql() -> str:
+    bits = []
+    for i in range(N_PLANES):
+        plane = "[" + ",".join(repr(float(v)) for v in PLANES[i]) + "]"
+        bits.append(f"CASE WHEN list_dot_product(v, {plane}::DOUBLE[]) > 0 "
+                    f"THEN {1 << i} ELSE 0 END")
+    bucket_expr = " + ".join(bits)
+    return f"""WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+),
+vb AS (SELECT vec_id, v, norm, {bucket_expr} AS bucket FROM vecs),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket FROM vb
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT q.query_id, x.vec_id,
+         list_dot_product(x.v, q.qv) / (x.norm * q.qnorm) AS cosine
+  FROM vb x JOIN queries q ON x.bucket = q.bucket
+  WHERE x.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= {TOP_K}"""

@@ -104,6 +104,95 @@ def make_pip_udf(polygons: list[tuple[str, int, Polygon]]):
     return pip_contains
 
 
+def build_buffered_covering_rows(polygons: list[tuple[str, int, Polygon]],
+                                 radius_rad: float,
+                                 max_cells: int = 32):
+    """U8: coverings expanded by `radius_rad` (S2CellUnion.expand,
+    S2CellUnion.kt:307-350): snap cells to the expand level picked by the
+    kMinWidth metric, add all neighbors, normalize."""
+    from ..kernel import metrics
+    from ..kernel.coverer import RegionCoverer
+    from ..kernel.coverer import normalize as norm
+    coverer = RegionCoverer(max_cells=max_cells)
+    radius_level = metrics.MIN_WIDTH.get_level_for_min_value(radius_rad)
+    rows = []
+    for layer, pid, poly in polygons:
+        cov = coverer.get_covering(poly)
+        # expand(minRadius, maxLevelDiff=4) semantics
+        # (S2CellUnion.kt:337-350): never expand more than 4 levels finer
+        # than the coarsest covering cell (bounds the output size)
+        min_level = min(ck.sc_level(c) for c in cov)
+        expand_level = min(min_level + 4, radius_level)
+        out = set()
+        for cid in cov:
+            base = ck.sc_parent(cid, expand_level) \
+                if ck.sc_level(cid) > expand_level else cid
+            out.add(base)
+            out.update(ck.get_all_neighbors(base, expand_level))
+        for cid in norm(sorted(out)):
+            rows.append((layer, pid, _signed(cid), ck.sc_level(cid)))
+    return rows
+
+
+def make_within_distance_udf(polygons: list[tuple[str, int, Polygon]],
+                             radius_rad: float):
+    """(polygon_id, lat, lon) -> contained OR within chord distance of any
+    polygon edge (D2 point-edge kernel + P4 parity)."""
+    from ..kernel import distance as dist
+    loops_by_pid = {pid: [lp.vertices for lp in poly.loops]
+                    for _, pid, poly in polygons}
+    max_d2 = float(dist.radians_to_chord2(radius_rad))
+
+    @pandas_udf(BooleanType())
+    def within(polygon_id: pd.Series, lat: pd.Series,
+               lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        x, y, z = ck.latlng_deg_to_xyz(la, lo)
+        pts = np.stack([x, y, z], axis=1)
+        pids = polygon_id.to_numpy(dtype=np.int64)
+        out = np.zeros(len(pids), dtype=bool)
+        for pid in np.unique(pids):
+            mask = pids == pid
+            sub = pts[mask]
+            res = pip.polygon_contains_points(loops_by_pid[int(pid)], sub)
+            for verts in loops_by_pid[int(pid)]:
+                a = verts
+                b = np.roll(verts, -1, axis=0)
+                d2 = dist.point_edge_chord2(sub, a, b).min(axis=1)
+                res |= d2 <= max_d2
+            out[mask] = res
+        return pd.Series(out)
+
+    return within
+
+
+def within_distance_join(pages: DataFrame, spark: SparkSession,
+                         polygons: list[tuple[str, int, Polygon]],
+                         radius_rad: float) -> DataFrame:
+    """Pages within `radius_rad` of each polygon (interior or boundary
+    buffer) — buffered-covering prejoin + exact D2 verify."""
+    rows = build_buffered_covering_rows(polygons, radius_rad)
+    cov = spark.createDataFrame(
+        rows, "layer string, polygon_id long, cell_id long, level int")
+    levels = sorted({r[3] for r in rows})
+    parents = F.array(*[
+        (F.col("cell_id").bitwiseAND(F.lit(~(2 * (1 << (2 * (30 - lv))) - 1)))
+         .bitwiseOR(F.lit(1 << (2 * (30 - lv))))).cast("long")
+        for lv in levels
+    ])
+    probe = pages.withColumn("probe_cell", F.explode(parents))
+    # normalized covering cells are disjoint per polygon -> each page
+    # matches at most one cell per polygon; no dedup (and no shuffle)
+    joined = probe.join(
+        F.broadcast(cov.withColumnRenamed("cell_id", "probe_cell")),
+        "probe_cell", "inner")
+    verify = make_within_distance_udf(polygons, radius_rad)
+    return (joined.where(verify(F.col("polygon_id"), F.col("lat"),
+                                F.col("lon")))
+            .select("url", "layer", "polygon_id"))
+
+
 def spatial_join(pages: DataFrame, spark: SparkSession,
                  polygons: list[tuple[str, int, Polygon]],
                  max_cells: int = 32, strategy: str = "broadcast",
@@ -132,17 +221,16 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
             spark.range(nsalt).select(F.col("id").cast("int").alias("salt")))
         probe = probe.withColumn(
             "salt", F.pmod(F.xxhash64("url"), F.lit(nsalt)).cast("int"))
-        joined = probe.hint("shuffle_hash").join(
-            salted_cov, ["probe_cell", "salt"], "inner")
+        # hash map builds from the (small) salted covering side
+        joined = probe.join(salted_cov.hint("shuffle_hash"),
+                            ["probe_cell", "salt"], "inner")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    interior = (joined.where(F.col("is_interior"))
-                .select("url", "layer", "polygon_id"))
-    boundary = joined.where(~F.col("is_interior"))
+    # single pass: interior fast-accept OR exact PIP — one scan of the
+    # pages side (a union of two branches would recompute the whole
+    # upstream chain twice when the input is not materialized)
     pip_udf = make_pip_udf(polygons)
-    verified = (boundary
-                .where(pip_udf(F.col("polygon_id"), F.col("lat"),
-                               F.col("lon")))
-                .select("url", "layer", "polygon_id"))
-    return interior.unionByName(verified)
+    keep = F.col("is_interior") | pip_udf(F.col("polygon_id"),
+                                          F.col("lat"), F.col("lon"))
+    return joined.where(keep).select("url", "layer", "polygon_id")

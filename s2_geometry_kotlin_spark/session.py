@@ -21,6 +21,9 @@ def get_spark(app: str = "s2-engine", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep scan splits small enough that partition count, not core
+        # count, is never the parallelism ceiling on mid-size tables
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory",

@@ -1,0 +1,84 @@
+"""Measure tests against S2LoopUnitTest golden values
+(getAreaAndCentroid, areaConsistentWithCurvature)."""
+
+import math
+
+import numpy as np
+
+from s2_geometry_kotlin_spark.kernel import cellid as ck
+from s2_geometry_kotlin_spark.kernel import measures as M
+
+
+def make_loop(text: str) -> np.ndarray:
+    pts = []
+    for tok in text.split(","):
+        lat, lng = tok.strip().split(":")
+        x, y, z = ck.latlng_deg_to_xyz(np.array([float(lat)]),
+                                       np.array([float(lng)]))
+        pts.append([x[0], y[0], z[0]])
+    return np.array(pts, dtype=np.float64)
+
+
+NORTH_HEMI = make_loop("0:-180, 0:-90, 0:0, 0:90")
+SOUTH_HEMI = make_loop("0:90, 0:0, 0:-90, 0:-180")
+CANDY_CANE = make_loop("-20:150, -20:-70, 0:70, 10:-150, 10:70, -10:-70")
+ARCTIC_80 = make_loop("80:-150, 80:-30, 80:90")
+SMALL_NE_CW = make_loop("35:20, 45:20, 40:25")
+
+
+def test_hemisphere_areas():
+    assert abs(M.loop_area(NORTH_HEMI) - 2 * math.pi) < 1e-12
+    assert abs(M.loop_area(SOUTH_HEMI) - 2 * math.pi) < 1e-12
+
+
+def test_empty_full_loops():
+    assert M.loop_area(np.array([[0.0, 0.0, 1.0]])) == 0.0
+    assert M.loop_area(np.array([[0.0, 0.0, -1.0]])) == 4 * math.pi
+
+
+def test_cw_loop_area_is_complement():
+    ccw = SMALL_NE_CW[::-1].copy()
+    a_ccw = M.loop_area(ccw)
+    a_cw = M.loop_area(SMALL_NE_CW)
+    assert abs((a_ccw + a_cw) - 4 * math.pi) < 1e-10
+    assert a_ccw < 0.01  # small triangle
+    assert a_cw > 4 * math.pi - 0.01
+
+
+def test_area_consistent_with_curvature():
+    # Gauss-Bonnet: area ~= 2*pi - curvature (error ~ eps per vertex)
+    for loop in (NORTH_HEMI, CANDY_CANE, ARCTIC_80):
+        area = M.loop_area(loop)
+        gb = 2 * math.pi - M.loop_curvature(loop)
+        assert abs(area - gb) < 1e-9, (area, gb)
+
+
+def test_triangle_area_small_vs_girard():
+    # tiny triangle: L'Huilier must keep relative accuracy
+    a = np.array(ck.latlng_deg_to_xyz(np.array([0.0]), np.array([0.0])))[:, 0]
+    b = np.array(ck.latlng_deg_to_xyz(np.array([0.0]), np.array([1e-4])))[:, 0]
+    c = np.array(ck.latlng_deg_to_xyz(np.array([1e-4]), np.array([0.0])))[:, 0]
+    area = M.triangle_area(a, b, c)
+    expected = 0.5 * math.radians(1e-4) ** 2
+    assert abs(area - expected) / expected < 1e-6
+
+
+def test_centroid_of_symmetric_loop_on_axis():
+    c = M.loop_centroid(ARCTIC_80)
+    n = c / np.linalg.norm(c)
+    # arctic triangle is symmetric-ish around the pole; centroid近 z-axis
+    assert n[2] > 0.99
+
+
+def test_polygon_area_with_hole():
+    from s2_geometry_kotlin_spark.sources.layers import regular_loop_vertices
+    shell = regular_loop_vertices(10.0, 20.0, 5.0, 64)
+    hole = regular_loop_vertices(10.0, 20.0, 2.0, 64)[::-1].copy()
+    a_shell = M.loop_area(shell)
+    a_hole_ccw = M.loop_area(hole[::-1].copy())
+    total = M.polygon_area([shell, hole])
+    assert abs(total - (a_shell - a_hole_ccw)) < 1e-10
+    # spherical cap area = 2*pi*(1-cos r); polygon is inscribed, slightly
+    # smaller but within 1% for 64 vertices
+    cap = 2 * math.pi * (1 - math.cos(math.radians(5.0)))
+    assert 0.98 * cap < a_shell < cap
