@@ -108,6 +108,13 @@ def cell_range_max_dyn(cell: Column) -> Column:
     return cell + (lsb - F.lit(1))
 
 
+def s2_snap_to_cell_center(lat: Column, lon: Column, level: int) -> Column:
+    """B2: S2CellIdSnapFunction — snap a point to its level-`level` cell
+    center (builder/snap/S2CellIdSnapFunction.kt); returns struct
+    (lat, lon)."""
+    return s2_cell_center(cell_parent(s2_cellid(lat, lon), level))
+
+
 # ---------------------------------------------------------------------------
 # T1: raster tile grid (dilivia/s2/Tiles.kt:41-170) — pure arithmetic
 # ---------------------------------------------------------------------------

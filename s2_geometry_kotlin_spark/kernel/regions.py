@@ -520,15 +520,26 @@ class Loop:
         return b
 
     def _boundary_crosses_cell(self, cell: Cell) -> bool:
+        """True if any loop edge may cross any cell edge — vectorized
+        triage over all (loop edge x cell edge) pairs; uncertain pairs
+        (including shared vertices) count as crossing, which is the
+        conservative direction for both contains_cell (false negatives
+        only cost covering tightness) and may_intersect_cell."""
         cv = cell.vertices()
-        v = self.vertices
-        n = len(v)
-        for i in range(n):
-            a, b = v[i], v[(i + 1) % n]
-            for k in range(4):
-                if pred.crossing_sign(a, b, cv[k], cv[(k + 1) & 3]) >= 0:
-                    return True
-        return False
+        a = self.vertices
+        b = np.roll(a, -1, axis=0)
+        c = cv
+        d = np.roll(cv, -1, axis=0)
+        n_ab = np.cross(a, b)                    # (n,3)
+        n_cd = np.cross(c, d)                    # (4,3)
+        t = pred.triage_sign_dets
+        acb = -t(n_ab @ c.T)                     # (n,4) -sign(a,b,c)
+        bda = t(n_ab @ d.T)                      # sign(a,b,d)
+        cbd = -t(b @ n_cd.T)                     # -sign(c,d,b)
+        dac = t(a @ n_cd.T)                      # sign(c,d,a)
+        crossing = (bda == acb) & (cbd == acb) & (dac == acb) & (acb != 0)
+        uncertain = (acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0)
+        return bool((crossing | uncertain).any())
 
     def contains_cell(self, cell: Cell) -> bool:
         bound = self.rect_bound()
