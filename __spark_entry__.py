@@ -50,7 +50,7 @@ def _henc_with() -> str:
 def q_pages_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthesized input table itself (minus binary html)."""
     return P.load_pages(spark, sf_dir).select(
-        "url", "warc_ts", F.length("text").alias("text_len"), "lang")
+        "url", "warc_ts", F.length("text").cast("long").alias("text_len"), "lang")
 
 
 def q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "(p.z-q.qz)*(p.z-q.qz) AS dist2 FROM pxyz p CROSS JOIN qpts q),\n"
         "ranked AS (SELECT query_id, url, dist2, row_number() OVER "
         "(PARTITION BY query_id ORDER BY dist2, url) AS rank FROM cand)\n"
-        f"SELECT query_id, url, "
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, url, "
         f"round(2.0 * 6371010.0 * asin(0.5 * sqrt(dist2)), 3) AS dist_m, "
         f"rank FROM ranked WHERE rank <= {KNN_K}")
     from s2_geometry_kotlin_spark.operators import dedup, similarity

@@ -298,7 +298,7 @@ pipcross AS (
   GROUP BY 1, 2
 ),
 pipjoin AS (
-  SELECT c.url, m.layer, c.polygon_id
+  SELECT c.url, m.layer, CAST(c.polygon_id AS BIGINT) AS polygon_id
   FROM pipcross c JOIN polymeta m ON m.polygon_id = c.polygon_id
   WHERE (c.ncross % 2 = 1) <> m.origin_inside
 )"""
@@ -368,7 +368,7 @@ edist AS (
   GROUP BY 1, 2
 ),
 withinjoin AS (
-  SELECT e.url, m.layer, e.polygon_id
+  SELECT e.url, m.layer, CAST(e.polygon_id AS BIGINT) AS polygon_id
   FROM edist e JOIN polymeta m ON m.polygon_id = e.polygon_id
   WHERE e.min_d2 <= {max_d2!r}
      OR EXISTS (SELECT 1 FROM pipjoin pj

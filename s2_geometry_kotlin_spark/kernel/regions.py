@@ -208,6 +208,39 @@ class LngInterval:
             return o.lo <= self.hi or o.hi >= self.lo
         return o.lo <= self.hi and o.hi >= self.lo
 
+    @staticmethod
+    def from_point_pair(p1: float, p2: float) -> "LngInterval":
+        """Minimal interval containing both points (length <= pi)."""
+        if p1 == -math.pi:
+            p1 = math.pi
+        if p2 == -math.pi:
+            p2 = math.pi
+        if _pos_angle(p2 - p1) <= math.pi:
+            return LngInterval(p1, p2)
+        return LngInterval(p2, p1)
+
+    def union_interval(self, y: "LngInterval") -> "LngInterval":
+        """Exact S1Interval union (S1Interval.kt union semantics)."""
+        if y.is_empty():
+            return self
+        if self.is_empty():
+            return y
+        if self.contains(y.lo):
+            if self.contains(y.hi):
+                if self.contains_interval(y):
+                    return self
+                return LngInterval.full()
+            return LngInterval(self.lo, y.hi)
+        if self.contains(y.hi):
+            return LngInterval(y.lo, self.hi)
+        if y.contains_interval(self):
+            return y
+        dlo = _pos_angle(self.lo - y.hi)
+        dhi = _pos_angle(y.lo - self.hi)
+        if dlo < dhi:
+            return LngInterval(y.lo, self.hi)
+        return LngInterval(self.lo, y.hi)
+
     def add_point(self, p: float) -> "LngInterval":
         if p == -math.pi:
             p = math.pi
@@ -478,9 +511,13 @@ class Loop:
         lng = np.arctan2(v[:, 1], v[:, 0])
         lat_lo = float(lat.min())
         lat_hi = float(lat.max())
-        li = LngInterval.from_point(float(lng[0]))
-        for t in lng[1:]:
-            li = li.add_point(float(t))
+        # longitude interval accumulated per EDGE (shorter-arc pairs, as
+        # the reference bounder does) — vertex-only accumulation cannot
+        # see that e.g. an equator loop spans all longitudes
+        li = LngInterval.empty()
+        for i in range(n):
+            li = li.union_interval(LngInterval.from_point_pair(
+                float(lng[i]), float(lng[(i + 1) % n])))
         # account for edge latitude extremes: for edge AB with normal N,
         # the great circle's max |lat| is asin(|N_xy| / |N|); extend the
         # lat range when the extreme point lies within the edge's arc.

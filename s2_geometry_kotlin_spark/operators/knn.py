@@ -95,7 +95,7 @@ def knn_points(pages_xyz: DataFrame, spark: SparkSession,
         dist_m = F.round(
             F.lit(2.0 * dist.EARTH_RADIUS_METERS) *
             F.asin(F.lit(0.5) * F.sqrt(F.col("dist2"))), 3)
-        topk = (cand.withColumn("rank", F.row_number().over(w))
+        topk = (cand.withColumn("rank", F.row_number().over(w).cast("long"))
                 .where(F.col("rank") <= k)
                 .select("query_id", "url", F.col("dist2"),
                         dist_m.alias("dist_m"), "rank"))

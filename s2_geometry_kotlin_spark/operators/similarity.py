@@ -54,7 +54,7 @@ def q_embed_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cosine", _dot(F.col("v"), F.col("qv")) /
                         (F.col("norm") * F.col("qnorm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= TOP_K)
             .select("query_id", "vec_id", "rank",
                     F.round("cosine", 6).alias("cosine_r")))
@@ -128,7 +128,7 @@ def q_embed_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cosine", _dot(F.col("v"), F.col("qv")) /
                         (F.col("norm") * F.col("qnorm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= TOP_K)
             .select("query_id", "vec_id", "rank",
                     F.round("cosine", 6).alias("cosine_r")))

@@ -33,9 +33,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words_spark()
     return docs.select(
         "doc_id",
-        F.size(w).alias("n_tokens"),
-        F.size(F.array_distinct(w)).alias("n_distinct"),
-        F.length(F.col("text")).alias("n_chars_raw"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.length(F.col("text")).cast("long").alias("n_chars_raw"),
     )
 
 
@@ -97,7 +97,7 @@ def q_domain_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = F.when(cond, F.lit(name)).otherwise(best)
         best_score = F.when(cond, F.col(f"s_{name}")).otherwise(best_score)
     return scored.select("doc_id", best.alias("domain"),
-                         best_score.alias("score"))
+                         best_score.cast("long").alias("score"))
 
 
 def domain_id_sql() -> str:
