@@ -20,10 +20,12 @@ from s2_geometry_kotlin_spark.sources import pages as P
 
 
 def _geo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pages with parsed coordinates and leaf cell ids."""
+    """pages with parsed coordinates and leaf cell ids.
+
+    Cell assignment runs fully JVM-side (s2f.with_cellid_jvm): no Python
+    worker in the geocode hot path."""
     pg = P.geoparse(P.load_pages(spark, sf_dir))
-    return (pg.where(F.col("lat").isNotNull())
-              .withColumn("cell_id", s2f.s2_cellid("lat", "lon")))
+    return s2f.with_cellid_jvm(pg.where(F.col("lat").isNotNull()))
 
 
 _GEO_SRC_DUCK = (
@@ -231,7 +233,11 @@ def q_knn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages_xyz = geo.select(
         "url", "cell_id", s2f.s2_xyz("lat", "lon").alias("p")
     ).select("url", "cell_id", "p.x", "p.y", "p.z")
-    return knn_points(pages_xyz, spark, _knn_queries(), KNN_K)
+    # density hint from parquet metadata (count-only scan) — avoids a
+    # full pipeline pass just to calibrate the seed radius
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return knn_points(pages_xyz, spark, _knn_queries(), KNN_K,
+                      n_pages_hint=int(n_docs * 0.9))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

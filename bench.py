@@ -61,9 +61,9 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     n_pages = pages.count()
 
     def make_geo():
-        return (P.geoparse(pages).where(F.col("lat").isNotNull())
-                .select("url", "lat", "lon")
-                .withColumn("cell_id", s2f.s2_cellid("lat", "lon")))
+        return s2f.with_cellid_jvm(
+            P.geoparse(pages).where(F.col("lat").isNotNull())
+            .select("url", "lat", "lon"))
 
     layer = fixture_layer()
 

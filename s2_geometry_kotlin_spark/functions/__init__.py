@@ -47,10 +47,14 @@ def s2_cellid(lat: pd.Series, lon: pd.Series) -> pd.Series:
     return res
 
 
-@pandas_udf(StringType())
-def s2_token(cell_id: pd.Series) -> pd.Series:
-    ids = cell_id.to_numpy(dtype=np.int64, na_value=0)
-    return pd.Series(ck.to_token(ids))
+def s2_token(cell_id) -> Column:
+    """E15 token as a pure Column expression (S2CellId.kt:638-654):
+    16-digit lower hex of the id bit pattern, trailing zeros stripped;
+    id 0 -> 'X'.  Stays in whole-stage codegen — no Python."""
+    cell = F.col(cell_id) if isinstance(cell_id, str) else cell_id
+    h = F.lower(F.lpad(F.hex(cell), 16, "0"))
+    return F.when(cell == 0, F.lit("X")) \
+        .otherwise(F.regexp_replace(h, "0+$", ""))
 
 
 @pandas_udf(_LATLON)
@@ -70,6 +74,106 @@ def s2_xyz(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # pure Column expressions (JVM-side, codegen'd — no Python)
 # ---------------------------------------------------------------------------
+
+_DEG2RAD = 0.017453292519943295  # float64(pi/180), same constant as numpy
+
+
+# the 8-step Hilbert walk (S2CellId.fromFaceIJ, S2CellId.kt:1081-1110) as
+# one higher-order aggregate over k=7..0: the expression tree is written
+# once and evaluated iteratively per row in the JVM — a literal unrolled
+# Column chain would embed each step's tree inside the next (exponential
+# tree growth -> analyzer OOM).  element_at probes the 1024-entry 4-bit
+# lookup table (LookupCellTables.kt:43-78) passed as a constant array.
+_HILBERT_AGG = """
+aggregate(
+  sequence(7, 0, -1),
+  named_struct('n', CAST({face} AS BIGINT) * CAST(1152921504606846976 AS BIGINT),
+               'bits', CAST({face} & 1 AS BIGINT)),
+  (acc, k) -> named_struct(
+    'n', acc.n | shiftleft(CAST(shiftright(element_at({lut},
+           CAST(acc.bits + shiftleft(shiftright({i}, 4*k) & 15, 6)
+                         + shiftleft(shiftright({j}, 4*k) & 15, 2)
+                AS INT) + 1), 2) AS BIGINT), 8*k),
+    'bits', CAST(element_at({lut},
+           CAST(acc.bits + shiftleft(shiftright({i}, 4*k) & 15, 6)
+                         + shiftleft(shiftright({j}, 4*k) & 15, 2)
+                AS INT) + 1) & 3 AS BIGINT)),
+  acc -> shiftleft(acc.n, 1) + CAST(1 AS BIGINT))
+"""
+
+
+def with_cellid_jvm(df, lat: str = "lat", lon: str = "lon",
+                    out: str = "cell_id"):
+    """E8 leaf cell id computed entirely JVM-side — the
+    latlng -> face/uv -> st -> ij -> Hilbert encode chain
+    (S2LatLng.kt:155-160, S2Coords.kt:343-419,
+    S2QuadraticProjection.kt:41-44, S2CellId.kt:1081-1110) as Column
+    expressions + one higher-order aggregate: no Python worker, no Arrow
+    exchange, no 2x thread oversubscription from python workers.
+
+    Bit-identical to the numpy kernel unless JVM sin/cos differ from
+    numpy's in the last ulp AND that ulp crosses a 2^-30 st-grid
+    boundary (asserted zero on the synthesized coordinate grids by
+    tests/test_jvm_cellid.py).
+    """
+    from ..kernel.tables import LOOKUP_POS
+    latc, lonc = F.col(lat), F.col(lon)
+    # radians via explicit constant multiply (numpy's np.radians form;
+    # java.lang.Math.toRadians computes x/180*pi, 1 ulp off sometimes)
+    phi = latc * F.lit(_DEG2RAD)
+    theta = lonc * F.lit(_DEG2RAD)
+    cos_phi = F.cos(phi)
+    x = F.cos(theta) * cos_phi
+    y = F.sin(theta) * cos_phi
+    z = F.sin(phi)
+    step1 = df.withColumns({"__x": x, "__y": y, "__z": z})
+    x, y, z = F.col("__x"), F.col("__y"), F.col("__z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    # largestAbsComponent tie-breaking exactly as the reference
+    axis = F.when(ax > ay,
+                  F.when(ax > az, F.lit(0)).otherwise(F.lit(2))) \
+        .otherwise(F.when(ay > az, F.lit(1)).otherwise(F.lit(2)))
+    step2 = step1.withColumn("__axis", axis)
+    axis = F.col("__axis")
+    comp = F.when(axis == 0, x).when(axis == 1, y).otherwise(z)
+    step3 = step2.withColumn("__comp", comp)
+    comp = F.col("__comp")
+    face = F.when(comp < 0, axis + F.lit(3)).otherwise(axis)
+    step4 = step3.withColumn("__face", face)
+    face = F.col("__face")
+    u_num = (F.when(face == 0, y).when(face == 1, -x).when(face == 2, -x)
+             .when(face == 3, z).when(face == 4, z).otherwise(-y))
+    v_num = (F.when(face == 0, z).when(face == 1, z).when(face == 2, -y)
+             .when(face == 3, y).when(face == 4, -x).otherwise(-x))
+
+    def st(w: Column) -> Column:
+        """Quadratic uvToSt (S2QuadraticProjection.kt:41-44)."""
+        return F.when(w >= 0,
+                      F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * w)) \
+            .otherwise(F.lit(1.0) -
+                       F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * w))
+
+    limit = (1 << MAX_LEVEL) - 1
+
+    def ij(s: Column) -> Column:
+        # NB greatest/least skip NULLs; null coords are gated at the end
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(limit).cast("long"),
+                    F.floor(F.lit(float(1 << MAX_LEVEL)) * s)))
+
+    step5 = step4.withColumns({
+        "__i": ij(st(u_num / comp)),
+        "__j": ij(st(v_num / comp)),
+        "__lut": F.lit([int(v0) for v0 in LOOKUP_POS]),
+    })
+    cid = F.expr(_HILBERT_AGG.format(face="__face", i="__i", j="__j",
+                                     lut="__lut"))
+    res = step5.withColumn(
+        out, F.when(latc.isNotNull() & lonc.isNotNull(), cid))
+    return res.drop("__x", "__y", "__z", "__axis", "__comp", "__face",
+                    "__i", "__j", "__lut")
+
 
 def cell_parent(cell: Column, level: int) -> Column:
     """Ancestor at `level` — S2CellId.parent as 2 bitwise ops

@@ -194,7 +194,11 @@ class LngInterval:
         if self.is_inverted():
             if o.is_inverted():
                 return o.lo >= self.lo and o.hi <= self.hi
-            return (o.lo >= self.lo or o.hi <= self.hi)
+            # reference guards with `&& !isEmpty()`: the empty interval
+            # (pi, -pi) is inverted and must not contain the point
+            # interval at exactly pi (S1Interval.contains semantics)
+            return (o.lo >= self.lo or o.hi <= self.hi) and \
+                not self.is_empty()
         if o.is_inverted():
             return self.is_full()
         return o.lo >= self.lo and o.hi <= self.hi

@@ -58,17 +58,25 @@ def contains_cell_join(cells: DataFrame, probes: DataFrame,
     For normalized unions a probe is contained iff a single union cell
     contains it (see coverer.normalize invariants), so this is a range
     semi-join on the ancestor chain — expressed as equality on the
-    union-cell levels to stay a hash join."""
+    union-cell levels to stay a hash join.
+
+    The ancestor bit math is only valid for union levels <= the probe's
+    own level (a coarser probe would yield a *descendant* of itself,
+    matching spuriously — S2CellUnion.contains handles both directions);
+    levels finer than the probe are guarded to NULL and filtered."""
     levels = [r[0] for r in
               cells.select(level_col(F.col("cell_id")).alias("l"))
               .distinct().collect()]
+    probe_level = level_col(F.col(probe_cell))
     parents = F.array(*[
-        (F.col(probe_cell).bitwiseAND(
-            F.lit(~(2 * (1 << (2 * (30 - lv))) - 1)))
-         .bitwiseOR(F.lit(1 << (2 * (30 - lv))))).cast("long")
+        F.when(probe_level >= F.lit(lv),
+               (F.col(probe_cell).bitwiseAND(
+                   F.lit(~(2 * (1 << (2 * (30 - lv))) - 1)))
+                .bitwiseOR(F.lit(1 << (2 * (30 - lv))))).cast("long"))
         for lv in sorted(levels)
     ])
-    probe = probes.withColumn("__probe", F.explode(parents))
+    probe = probes.withColumn("__probe", F.explode(parents)) \
+        .where(F.col("__probe").isNotNull())
     return probe.join(
         F.broadcast(cells.select(F.col("cell_id").alias("__probe"),
                                  "geom_id")),

@@ -103,8 +103,14 @@ WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates: per-band min hash over salted shingle
-    md5s; pairs sharing any band bucket, with verified Jaccard."""
-    sh = _shingle_rows(spark, sf_dir)
+    md5s; pairs sharing any band bucket, with verified Jaccard.
+
+    Verification is CANDIDATE-ONLY: shingles are joined to the candidate
+    pairs (cand -> a-side shingles -> matching b-side shingles), so the
+    cost is O(candidate pairs x shingles/doc) — never the full sh x sh
+    all-pairs join the LSH exists to avoid.  tests/test_dedup_plan.py
+    asserts the physical plan has no shingle-only equi-join."""
+    sh = _shingle_rows(spark, sf_dir).cache()
     banded = (sh.join(spark.range(N_BANDS)
                       .select(F.col("id").cast("int").alias("band")))
               .groupBy("doc_id", "band")
@@ -118,10 +124,25 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("x.doc_id").alias("doc_a"),
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
-    # verify candidates with the exact Jaccard
-    verified = cand.join(q_ngram_jaccard_pairs(spark, sf_dir),
-                         ["doc_a", "doc_b"], "inner")
-    return verified.select("doc_a", "doc_b", "jaccard")
+    # exact Jaccard over candidate pairs only: fan each pair out to the
+    # a-side shingle list, count b-side matches per pair
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (cand.join(sh_a, "doc_a")
+              .join(sh_b, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("n_shared")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    jac = (shared.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_shared") /
+               (F.col("na") + F.col("nb") - F.col("n_shared")), 6)))
+    return (jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard"))
 
 
 def minhash_lsh_sql() -> str:

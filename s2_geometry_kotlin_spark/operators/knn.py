@@ -53,23 +53,33 @@ def _query_covering_rows(queries: list[tuple[int, float, float]],
 def knn_points(pages_xyz: DataFrame, spark: SparkSession,
                queries: list[tuple[int, float, float]], k: int,
                initial_radius_rad: float | None = None,
-               n_pages_hint: int | None = None) -> DataFrame:
+               n_pages_hint: int | None = None,
+               stats: dict | None = None) -> DataFrame:
     """k nearest pages per query point.
 
     pages_xyz: DataFrame(url, x, y, z, cell_id) — cached by the caller if
     reused.  queries: [(query_id, lat_deg, lon_deg)].
     Returns (query_id, url, dist2, rank), rank 1..k by (dist2, url).
+    Pass a dict as `stats` to receive {"rounds": n} escalation telemetry.
     """
     if initial_radius_rad is None:
         n = n_pages_hint or pages_xyz.count()
-        # expected area holding ~4k points, uniform-density estimate
-        area = 4.0 * math.pi * min(1.0, 4.0 * k / max(1, n))
+        # density-calibrated so one round usually suffices: assume only a
+        # ~30% uniform share of pages reaches sparse query regions (the
+        # rest may cluster), and target 2k expected candidates
+        area = 4.0 * math.pi * min(1.0, 8.0 * k / max(1.0, 0.3 * n))
         initial_radius_rad = max(1e-4, math.sqrt(area / math.pi))
 
     remaining = list(queries)
     radius = initial_radius_rad
     results: DataFrame | None = None
+    rounds = 0
     while remaining:
+        rounds += 1
+        # at radius >= pi the covering is the whole sphere (6 face
+        # cells): this round's top-k is definitive for every remaining
+        # query, so emit it and stop (never reuse a smaller-radius topk)
+        terminal = radius >= math.pi
         rows = _query_covering_rows(remaining, radius)
         cov = spark.createDataFrame(
             rows, "query_id long, qx double, qy double, qz double, "
@@ -89,6 +99,14 @@ def knn_points(pages_xyz: DataFrame, spark: SparkSession,
         dy = F.col("y") - F.col("qy")
         dz = F.col("z") - F.col("qz")
         cand = cand.withColumn("dist2", dx * dx + dy * dy + dz * dz)
+        # partial top-k per (query, covering cell) first: many keys ->
+        # parallel, and it bounds what reaches the per-query final sort
+        # (the single-key-per-query window would otherwise see every
+        # candidate of a hot query in one partition)
+        w0 = Window.partitionBy("query_id", "probe_cell") \
+            .orderBy("dist2", "url")
+        cand = (cand.withColumn("r0", F.row_number().over(w0))
+                .where(F.col("r0") <= k).drop("r0"))
         w = Window.partitionBy("query_id").orderBy("dist2", "url")
         # distance in meters rounded to mm: rank stays exact-FP, the
         # reported value is robust to last-ulp trig differences
@@ -99,6 +117,10 @@ def knn_points(pages_xyz: DataFrame, spark: SparkSession,
                 .where(F.col("rank") <= k)
                 .select("query_id", "url", F.col("dist2"),
                         dist_m.alias("dist_m"), "rank"))
+        if terminal:
+            results = topk if results is None else \
+                results.unionByName(topk)
+            break
         got = topk.groupBy("query_id").agg(
             F.count("*").alias("n"), F.max("dist2").alias("kth")).collect()
         covered2 = float(dist.radians_to_chord2(radius))
@@ -111,12 +133,8 @@ def knn_points(pages_xyz: DataFrame, spark: SparkSession,
                 results.unionByName(done_df)
         remaining = [q for q in remaining if q[0] not in done_ids]
         radius = min(math.pi, radius * 2.0)
-        if radius >= math.pi and remaining:
-            # terminal: whole sphere covered — emit whatever we have
-            last = topk.where(~F.col("query_id").isin(list(done_ids))) \
-                if done_ids else topk
-            results = last if results is None else results.unionByName(last)
-            break
+    if stats is not None:
+        stats["rounds"] = rounds
     if results is None:
         return None
     return results.select("query_id", "url", "dist_m", "rank")

@@ -71,21 +71,31 @@ def extract_features(df: DataFrame,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "media codecs are not available in this "
-                        "environment; run with deterministic_fake=True")
-                px = _fake_decode(row["payload"])
-                h = hashlib.md5(bytes(row["payload"])).digest()[:8]
-                out.append((
-                    row["media_id"], row["kind"], len(row["payload"]),
-                    float(px.mean()), float(px.std()),
-                    int.from_bytes(h, "big", signed=True),
-                ))
-            yield pd.DataFrame(out, columns=[f.name for f in
-                                             FEATURES_SCHEMA.fields])
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "media codecs are not available in this "
+                    "environment; run with deterministic_fake=True")
+            # per-BLOB work (decode + hash are inherently per-payload),
+            # but column-at-a-time assembly: no iterrows, one output
+            # frame per Arrow batch built from numpy arrays
+            payloads = [bytes(p) for p in pdf["payload"]]
+            arrs = [_fake_decode(p) for p in payloads]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "n_bytes": np.fromiter((len(p) for p in payloads),
+                                       dtype=np.int64, count=len(payloads)),
+                "mean_intensity": np.fromiter(
+                    (a.mean() for a in arrs), dtype=np.float64,
+                    count=len(arrs)),
+                "std_intensity": np.fromiter(
+                    (a.std() for a in arrs), dtype=np.float64,
+                    count=len(arrs)),
+                "phash64": np.fromiter(
+                    (int.from_bytes(hashlib.md5(p).digest()[:8], "big",
+                                    signed=True) for p in payloads),
+                    dtype=np.int64, count=len(payloads)),
+            })
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
@@ -101,14 +111,22 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row["payload"])
-                for off in range(0, len(data), every_n_bytes):
-                    chunk = data[off:off + every_n_bytes]
-                    rows.append((row["media_id"], off,
-                                 hashlib.md5(chunk).hexdigest()))
-            yield pd.DataFrame(rows, columns=["media_id", "offset",
-                                              "frame_md5"])
+            payloads = [bytes(p) for p in pdf["payload"]]
+            mids = pdf["media_id"].to_numpy()
+            # vectorized offset generation: np.arange per blob, repeat
+            # media ids by frame count; only the md5 is per-chunk
+            offs = [np.arange(0, len(p), every_n_bytes, dtype=np.int64)
+                    for p in payloads]
+            counts = np.fromiter((len(o) for o in offs), dtype=np.int64,
+                                 count=len(offs))
+            all_offs = (np.concatenate(offs) if offs
+                        else np.empty(0, dtype=np.int64))
+            hashes = [hashlib.md5(p[o:o + every_n_bytes]).hexdigest()
+                      for p, oo in zip(payloads, offs) for o in oo.tolist()]
+            yield pd.DataFrame({
+                "media_id": np.repeat(mids, counts),
+                "offset": all_offs,
+                "frame_md5": hashes,
+            })
 
     return df.mapInPandas(run, schema)

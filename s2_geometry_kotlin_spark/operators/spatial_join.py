@@ -45,11 +45,23 @@ def _signed(v: int) -> int:
 _COVERING_CACHE: dict = {}
 
 
+def _layer_digest(polygons: list[tuple[str, int, Polygon]]) -> str:
+    """Stable content key: layer/pid plus a digest of all vertex bytes
+    (id()-based keys can collide after garbage collection)."""
+    import hashlib
+    h = hashlib.sha256()
+    for layer, pid, poly in polygons:
+        h.update(f"{layer}|{pid}|{len(poly.loops)}".encode())
+        for lp in poly.loops:
+            h.update(np.ascontiguousarray(lp.vertices).tobytes())
+    return h.hexdigest()
+
+
 def build_covering_rows(polygons: list[tuple[str, int, Polygon]],
                         max_cells: int = 32):
     """(layer, polygon_id, cell_id, level, range_min, range_max,
     is_interior) — computed once per layer, driver-side, memoized."""
-    key = (id(polygons), max_cells)
+    key = (_layer_digest(polygons), max_cells)
     if key in _COVERING_CACHE:
         return _COVERING_CACHE[key]
     rows = []

@@ -37,6 +37,17 @@ CITIES = [
 # NB: h = (did * odd) mod 2^32, and did is a multiple of 1000, so h mod
 # 2^k inherits did's divisibility — derive sub-streams with odd divisors
 # only ((h div odd) % m), never h % 2^k.
+#
+# The multiply is split so the intermediate never exceeds 2^63 for ANY
+# did (a naive did*2654435761 wraps in Spark but errors in DuckDB once
+# did >= ~3.5e9, i.e. large scale factors / replicates):
+#   did*M mod 2^32 == (d0*M + ((d1*M_lo) mod 2^16) * 2^16) mod 2^32
+# with d0 = did mod 2^16, d1 = did div 2^16, M_lo = M mod 2^16 = 31153.
+# Algebraically identical to the naive form for all did, so synthesized
+# rows are unchanged at small scale.
+_H_EXPR = ("(((did % 65536) * 2654435761 + "
+           "((((did {IDIV} 65536) % 65536) * 31153) % 65536) * 65536) "
+           "% 4294967296)")
 _CITY_SEL = "(h {IDIV} 13) % 8"
 _CITY_LAT_CASE = f"CASE {_CITY_SEL} " + " ".join(
     f"WHEN {i} THEN {lat}" for i, (lat, _) in enumerate(CITIES)) + " END"
@@ -77,11 +88,11 @@ FROM (
            END AS lon_micro
     FROM (
       SELECT did, doc_text, lang,
-             (did * 2654435761) % 4294967296 AS h,
-             (((did * 2654435761) % 4294967296) {IDIV} 3) % 100 >= 10
+             {H} AS h,
+             (({H}) {IDIV} 3) % 100 >= 10
                AS has_geo,
-             (((did * 2654435761) % 4294967296) {IDIV} 3) % 100 >= 10 AND
-             (((did * 2654435761) % 4294967296) {IDIV} 3) % 100 < 70
+             (({H}) {IDIV} 3) % 100 >= 10 AND
+             (({H}) {IDIV} 3) % 100 < 70
                AS is_city
       FROM (
         SELECT doc_id * 1000 + {REP} AS did, text AS doc_text, lang
@@ -103,6 +114,7 @@ def pages_sql_spark(docs_rel: str = "documents", replicate: int = 1) -> str:
                f"AS rep) reps")
     return _TEMPLATE.format(
         STR="STRING", IDIV="div",
+        H=_H_EXPR.format(IDIV="div"),
         TS="timestampadd(SECOND, CAST(did % 86400000 AS INT), "
            "TIMESTAMP '2024-01-01 00:00:00')",
         HTML="encode('https://host' || CAST(h % 97 AS STRING) || "
@@ -119,6 +131,7 @@ def pages_sql_duckdb(docs_rel: str = "documents", replicate: int = 1) -> str:
                f" CROSS JOIN (SELECT unnest(range({replicate})) AS rep) reps")
     return _TEMPLATE.format(
         STR="VARCHAR", IDIV="//",
+        H=_H_EXPR.format(IDIV="//"),
         TS="TIMESTAMP '2024-01-01 00:00:00' + "
            "(did % 86400000) * INTERVAL 1 SECOND",
         HTML="encode('https://host' || CAST(h % 97 AS VARCHAR) || "

@@ -61,9 +61,9 @@ def run_level(cpus: int) -> dict:
     pages = spark.read.parquet(PAGES_PATH)
     n = pages.count()
     def make_geo():
-        return (P.geoparse(pages).where(F.col("lat").isNotNull())
-                .select("url", "lat", "lon")
-                .withColumn("cell_id", s2f.s2_cellid("lat", "lon")))
+        return s2f.with_cellid_jvm(
+            P.geoparse(pages).where(F.col("lat").isNotNull())
+            .select("url", "lat", "lon"))
 
     layer = fixture_layer()
     # Full-size warm-up pass: JIT, Arrow buffers, python workers, and —
