@@ -153,6 +153,14 @@ def q_spatial_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                         strategy="salted")
 
 
+def q_spatial_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join with the pure-JVM crossing-parity verify (zero Python
+    workers end-to-end; triage-only signs, identical to the oracle)."""
+    from s2_geometry_kotlin_spark.operators.spatial_join import spatial_join
+    return spatial_join(_geo_pages(spark, sf_dir), spark, _layer(),
+                        strategy="broadcast", verify="sql")
+
+
 WITHIN_RADIUS_RAD = 100000.0 / 6371010.0  # 100 km
 
 
@@ -240,11 +248,111 @@ def q_knn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_pages_hint=int(n_docs * 0.9))
 
 
+KNN_EDGES_K = 3
+ROUTE_RADIUS_RAD = 150000.0 / 6371010.0  # 150 km
+
+
+def q_knn_polygon_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4: k nearest polygon-boundary edges per page
+    (S2ClosestEdgeQuery re-expressed as covering-seeded candidate join +
+    pure-SQL point-edge distance + window top-k + DataFrame escalation)."""
+    from s2_geometry_kotlin_spark.operators.edges import knn_edges
+    return knn_edges(_geo_pages(spark, sf_dir), spark, _layer(),
+                     KNN_EDGES_K)
+
+
+_ROUTES = None
+
+
+def _routes():
+    global _ROUTES
+    if _ROUTES is None:
+        from s2_geometry_kotlin_spark.operators.routes import fixture_routes
+        _ROUTES = fixture_routes()
+    return _ROUTES
+
+
+def q_pages_near_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/D2: pages within 150 km of a route polyline (buffered covering
+    prejoin + min-fold exact distance, all JVM)."""
+    from s2_geometry_kotlin_spark.operators.routes import pages_near_route
+    return pages_near_route(_geo_pages(spark, sf_dir), spark, _routes(),
+                            ROUTE_RADIUS_RAD)
+
+
+def q_route_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 project (map-matching): snap near-route pages to the route,
+    with along-route distance."""
+    from s2_geometry_kotlin_spark.operators.routes import route_project
+    return route_project(_geo_pages(spark, sf_dir), spark, _routes(),
+                         ROUTE_RADIUS_RAD)
+
+
+def q_routes_cross_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P9: route-edge x polygon-boundary crossing counts."""
+    from s2_geometry_kotlin_spark.operators.routes import \
+        routes_cross_polygons
+    return routes_cross_polygons(spark, _routes(), _layer())
+
+
+_UNION_LANGS = ["de", "en", "es", "fr", "zh"]  # geom_id = index
+
+
+def _lang_union8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(geom_id, cell_id): distinct level-8 cells per language —
+    the raw (unnormalized) per-language cell unions."""
+    df = _geo_pages(spark, sf_dir)
+    geom = F.when(F.col("lang") == _UNION_LANGS[0], 0)
+    for i, lg in enumerate(_UNION_LANGS[1:], start=1):
+        geom = geom.when(F.col("lang") == lg, i)
+    return (df.where(F.col("lang").isin(_UNION_LANGS))
+            .select(geom.cast("long").alias("geom_id"),
+                    s2f.cell_parent(F.col("cell_id"), 8).alias("cell_id"))
+            .distinct())
+
+
+def q_cell_union_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U7+U2 end-to-end: normalize the English and French level-8
+    cell unions, subtract (divide-and-conquer difference), denormalize
+    back to level 8.  Equals the plain level-8 set difference, which the
+    oracle computes independently with EXCEPT."""
+    from s2_geometry_kotlin_spark.operators.cellunion import (
+        difference_df, normalize_df)
+    u = _lang_union8(spark, sf_dir)
+    en = normalize_df(u.where(F.col("geom_id") == 1)
+                      .select(F.lit(0).cast("long").alias("geom_id"),
+                              "cell_id"))
+    fr = normalize_df(u.where(F.col("geom_id") == 3)
+                      .select(F.lit(0).cast("long").alias("geom_id"),
+                              "cell_id"))
+    return difference_df(en, fr, denorm_level=8) \
+        .select(F.col("cell_id").alias("cell_l8"))
+
+
+def q_cell_union_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U9: leaf cells covered by each language's normalized union —
+    normalization (sibling merges) must preserve coverage exactly."""
+    from s2_geometry_kotlin_spark.operators.cellunion import (
+        normalize_df, range_max_col, range_min_col)
+    norm = normalize_df(_lang_union8(spark, sf_dir))
+    width = (range_max_col(F.col("cell_id")) -
+             range_min_col(F.col("cell_id"))) / F.lit(2) + F.lit(1)
+    return (norm.withColumn("__w", width.cast("long"))
+            .groupBy("geom_id")
+            .agg(F.sum("__w").alias("n_leaves")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from s2_geometry_kotlin_spark.operators import dedup, similarity
     from s2_geometry_kotlin_spark.operators import textstats as ts
     return {
         "knn_pages": q_knn_pages,
+        "knn_polygon_edges": q_knn_polygon_edges,
+        "pages_near_route": q_pages_near_route,
+        "route_project": q_route_project,
+        "routes_cross_polygons": q_routes_cross_polygons,
+        "cell_union_diff": q_cell_union_diff,
+        "cell_union_leaves": q_cell_union_leaves,
         "token_stats": ts.q_token_stats,
         "quality": ts.q_quality,
         "domain_id": ts.q_domain_id,
@@ -259,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_center_tile": q_cell_center_tile,
         "spatial_join": q_spatial_join,
         "spatial_join_salted": q_spatial_join_salted,
+        "spatial_join_sql": q_spatial_join_sql,
         "polygon_page_counts": q_polygon_page_counts,
         "pages_synth": q_pages_synth,
         "geoparse": q_geoparse,
@@ -302,8 +411,45 @@ def oracle_sql() -> dict[str, str]:
         f"rank FROM ranked WHERE rank <= {KNN_K}")
     from s2_geometry_kotlin_spark.operators import dedup, similarity
     from s2_geometry_kotlin_spark.operators import textstats as ts
+    from s2_geometry_kotlin_spark.operators.edges import \
+        knn_edges_oracle_sql
+    from s2_geometry_kotlin_spark.operators.routes import (
+        pages_near_route_sql, route_project_sql, routes_cross_polygons_sql)
+
+    def _pxyz_with(body: str) -> str:
+        return ("WITH " + P.pages_cte_duckdb() + ",\n"
+                f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+                f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+                + body)
+
     return {
         "knn_pages": knn_sql,
+        "knn_polygon_edges": _pxyz_with(
+            knn_edges_oracle_sql(_layer(), KNN_EDGES_K)),
+        "pages_near_route": _pxyz_with(
+            pages_near_route_sql(_routes(), ROUTE_RADIUS_RAD)),
+        "route_project": _pxyz_with(
+            route_project_sql(_routes(), ROUTE_RADIUS_RAD)),
+        "routes_cross_polygons": routes_cross_polygons_sql(
+            _routes(), _layer()),
+        "cell_union_diff": henc + ",\n"
+            "pl AS (SELECT p.lang, h.cell_id FROM henc h "
+            "JOIN pages p ON p.url = h.url)\n"
+            "SELECT DISTINCT "
+            f"{sqlgen.parent_sql('cell_id', 8)} AS cell_l8 "
+            "FROM pl WHERE lang = 'en' "
+            "EXCEPT SELECT DISTINCT "
+            f"{sqlgen.parent_sql('cell_id', 8)} AS cell_l8 "
+            "FROM pl WHERE lang = 'fr'",
+        "cell_union_leaves": henc + ",\n"
+            "pl AS (SELECT p.lang, h.cell_id FROM henc h "
+            "JOIN pages p ON p.url = h.url),\n"
+            "l8 AS (SELECT DISTINCT lang, "
+            f"{sqlgen.parent_sql('cell_id', 8)} AS c8 FROM pl "
+            "WHERE lang IN ('de','en','es','fr','zh'))\n"
+            "SELECT CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 "
+            "WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS geom_id, "
+            f"COUNT(*) * {4 ** 22} AS n_leaves FROM l8 GROUP BY 1",
         "token_stats": ts.token_stats_sql(),
         "quality": ts.quality_sql(),
         "domain_id": ts.domain_id_sql(),
@@ -319,6 +465,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join": _pip_oracle_sql(
             "SELECT url, layer, polygon_id FROM pipjoin"),
         "spatial_join_salted": _pip_oracle_sql(
+            "SELECT url, layer, polygon_id FROM pipjoin"),
+        "spatial_join_sql": _pip_oracle_sql(
             "SELECT url, layer, polygon_id FROM pipjoin"),
         "polygon_page_counts": _pip_oracle_sql(
             "SELECT layer, polygon_id, COUNT(*) AS n_pages FROM pipjoin "

@@ -77,12 +77,20 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     timed("cell_rollup", lambda: force(
         geo.groupBy(s2f.cell_parent(F.col("cell_id"), 8).alias("cell_l8"))
            .agg(F.count("*").alias("n"))))
-    # q3: full spatial join (broadcast)
+    # q3: full spatial join (broadcast, pure-JVM parity verify — the
+    # throughput path: zero Python workers end to end)
     timed("spatial_join", lambda: force(
-        spatial_join(geo, spark, layer, strategy="broadcast")))
+        spatial_join(geo, spark, layer, strategy="broadcast",
+                     verify="sql")))
+    # q3b: same join through the Arrow robust-predicate kernel (the
+    # reference-parity verify with exact-arithmetic escalation)
+    timed("spatial_join_kernel", lambda: force(
+        spatial_join(geo, spark, layer, strategy="broadcast",
+                     verify="kernel")))
     # q4: salted shuffle spatial join (skew plan)
     timed("spatial_join_salted", lambda: force(
-        spatial_join(geo, spark, layer, strategy="salted")))
+        spatial_join(geo, spark, layer, strategy="salted",
+                     verify="sql")))
     # q5: raster tile assignment
     timed("tile_index", lambda: force(
         geo.select("url", s2f.tile_index(F.col("lat"),

@@ -175,6 +175,17 @@ def with_cellid_jvm(df, lat: str = "lat", lon: str = "lon",
                     "__i", "__j", "__lut")
 
 
+def xyz_cols(lat, lon) -> tuple[Column, Column, Column]:
+    """E1 unit vector as pure Columns (S2LatLng.toPoint,
+    S2LatLng.kt:155-160) — JVM-side companion to the s2_xyz UDF."""
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    phi = latc * F.lit(_DEG2RAD)
+    theta = lonc * F.lit(_DEG2RAD)
+    cos_phi = F.cos(phi)
+    return (F.cos(theta) * cos_phi, F.sin(theta) * cos_phi, F.sin(phi))
+
+
 def cell_parent(cell: Column, level: int) -> Column:
     """Ancestor at `level` — S2CellId.parent as 2 bitwise ops
     (S2CellId.kt:356-373).  Valid for any id of level >= `level`."""

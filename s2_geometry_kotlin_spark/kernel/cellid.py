@@ -787,6 +787,67 @@ def get_edge_neighbors_sc(cid: int) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
+# E17: expandedByDistanceUV  (S2CellId.kt:977-1009)
+# ---------------------------------------------------------------------------
+
+def _expand_endpoint(u: float, max_v: float, sin_dist: float) -> float:
+    """Spherical-right-triangle endpoint shift (S2CellId.kt:1003-1009):
+    u' such that the line u=u' is exactly sin_dist from edge (u,v0)-(u,v1)
+    with max|v| = max_v; expansion of tan(atan(u) + asin(sin_u_shift))."""
+    import math
+    sin_u_shift = sin_dist * math.sqrt(
+        (1 + u * u + max_v * max_v) / (1 + u * u))
+    cos_u_shift = math.sqrt(1 - sin_u_shift * sin_u_shift)
+    return (cos_u_shift * u + sin_u_shift) / (cos_u_shift - sin_u_shift * u)
+
+
+def expanded_by_distance_uv(uv: tuple[float, float, float, float],
+                            distance_rad: float):
+    """E17: expand a face uv-rect so it contains all points within
+    `distance_rad` of the original rect (S2CellId.expandedByDistanceUV,
+    S2CellId.kt:977-1001).  uv = (u_lo, u_hi, v_lo, v_hi)."""
+    import math
+    u0, u1, v0, v1 = uv
+    max_u = max(abs(u0), abs(u1))
+    max_v = max(abs(v0), abs(v1))
+    sin_dist = math.sin(distance_rad)
+    return (_expand_endpoint(u0, max_v, -sin_dist),
+            _expand_endpoint(u1, max_v, sin_dist),
+            _expand_endpoint(v0, max_u, -sin_dist),
+            _expand_endpoint(v1, max_u, sin_dist))
+
+
+# ---------------------------------------------------------------------------
+# M5: cell areas (region/S2Cell.kt:205-250)
+# ---------------------------------------------------------------------------
+
+def cell_average_area(lvl: int) -> float:
+    from . import metrics
+    return metrics.AVG_AREA.get_value(lvl)
+
+
+def cell_approx_area(cid: int) -> float:
+    """S2Cell.approxArea (S2Cell.kt:213-235): flat quadrilateral area
+    corrected as a spherical cap; within 3% everywhere."""
+    import math
+    lvl = sc_level(cid)
+    if lvl < 2:
+        return cell_average_area(lvl)
+    v = cell_vertices(np.array([cid], dtype=np.uint64))[0]
+    flat = 0.5 * float(np.linalg.norm(np.cross(v[2] - v[0], v[3] - v[1])))
+    return flat * 2 / (1 + math.sqrt(1 - min(flat / math.pi, 1.0)))
+
+
+def cell_exact_area(cid: int) -> float:
+    """S2Cell.exactArea (S2Cell.kt:240-250): sum of the two vertex
+    triangles (stable at all levels, unlike the 4-asin closed form)."""
+    from . import measures
+    v = cell_vertices(np.array([cid], dtype=np.uint64))[0]
+    return measures.triangle_area(v[0], v[1], v[2]) + \
+        measures.triangle_area(v[0], v[2], v[3])
+
+
+# ---------------------------------------------------------------------------
 # E14: maximumTile  (S2CellId.kt:587-609)
 # ---------------------------------------------------------------------------
 

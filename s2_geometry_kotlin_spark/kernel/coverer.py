@@ -325,6 +325,100 @@ def _are_siblings(a: int, b: int, c: int, d: int) -> bool:
         ck.sc_level(d) > 0
 
 
+def difference(a: list[int], b: list[int]) -> list[int]:
+    """U7 (S2CellUnion.difference, S2CellUnion.kt:279-291, 707-722):
+    cells of `a` minus the leaves covered by `b`, via divide-and-conquer
+    into children.  Output is normalized when `a` is."""
+    b_sorted = sorted(b)
+    b_rmin = [ck.sc_range_min(c) for c in b_sorted]
+
+    def _intersects_union(cid: int) -> bool:
+        import bisect
+        i = bisect.bisect_right(b_rmin, ck.sc_range_max(cid))
+        return i > 0 and ck.sc_range_max(b_sorted[i - 1]) >= \
+            ck.sc_range_min(cid)
+
+    def _contained_by_union(cid: int) -> bool:
+        import bisect
+        i = bisect.bisect_right(b_rmin, ck.sc_range_min(cid))
+        return i > 0 and ck.sc_range_max(b_sorted[i - 1]) >= \
+            ck.sc_range_max(cid)
+
+    out: list[int] = []
+
+    def _diff(cid: int) -> None:
+        if not _intersects_union(cid):
+            out.append(cid)
+        elif not _contained_by_union(cid):
+            for pos in range(4):
+                _diff(ck.sc_child(cid, pos))
+
+    for cid in a:
+        _diff(cid)
+    return out
+
+
+def intersect_with_cell(cells: list[int], cid: int) -> list[int]:
+    """U6 (S2CellUnion.kt:264-276): slice a normalized union to the part
+    covered by one cell — a range filter plus the covering cell itself
+    when it is contained by the union."""
+    lo = ck.sc_range_min(cid)
+    hi = ck.sc_range_max(cid)
+    out = []
+    for c in cells:
+        if ck.sc_range_min(c) >= lo and ck.sc_range_max(c) <= hi:
+            out.append(c)          # c inside cid
+        elif ck.sc_range_min(c) <= lo and ck.sc_range_max(c) >= hi:
+            out.append(cid)        # cid inside c
+    return normalize(out)
+
+
+def from_begin_end(begin: int, end: int) -> list[int]:
+    """U10 (S2CellUnion.fromBeginEnd, S2CellUnion.kt:616-642): normalized
+    covering of the leaf range [begin, end) via maximumTile."""
+    assert (begin & 1) and (end & 1), "begin/end must be leaf ids"
+    if begin == end:
+        return []
+    out: list[int] = []
+    cid = ck.maximum_tile(begin, end)
+    while cid != end:
+        out.append(cid)
+        cid = ck.maximum_tile(int(ck.next_id(np.uint64(cid))), end)
+    return out
+
+
+def from_min_max(min_id: int, max_id: int) -> list[int]:
+    """U10 (S2CellUnion.fromMinMax): inclusive leaf range."""
+    return from_begin_end(min_id, int(ck.next_id(np.uint64(max_id))))
+
+
+def flood_fill(region, start: int) -> list[int]:
+    """C6 (S2RegionCoverer.floodFill, S2RegionCoverer.kt:737-751): all
+    edge-connected cells at start's level intersecting the region."""
+    seen = {start}
+    frontier = [start]
+    out: list[int] = []
+    while frontier:
+        cid = frontier.pop()
+        if not region.may_intersect_cell(Cell(cid)):
+            continue
+        out.append(cid)
+        for nbr in ck.get_edge_neighbors_sc(cid):
+            if nbr not in seen:
+                seen.add(nbr)
+                frontier.append(nbr)
+    return out
+
+
+def get_simple_covering(region, start_xyz, level: int) -> list[int]:
+    """C6 (S2RegionCoverer.getSimpleCovering, S2RegionCoverer.kt:727-735)."""
+    import numpy as _np
+    start = int(ck.from_xyz(_np.array([start_xyz[0]]),
+                            _np.array([start_xyz[1]]),
+                            _np.array([start_xyz[2]]))[0])
+    return flood_fill(region, ck.sc_parent(start, level))
+
+
 def denormalize(cells: list[int], min_level: int,
                 level_mod: int) -> list[int]:
     """U2 (S2CellUnion.kt:672-705): expand to satisfy min_level/level_mod."""

@@ -82,7 +82,7 @@ def interpolate_at_distance(a: np.ndarray, b: np.ndarray,
     """Point at spherical distance `angle_rad` from a along edge (a,b) —
     S2EdgeDistances.interpolateAtDistance (edge/S2EdgeDistances.kt:242-275):
     p = a*cos(ax) + tangent*sin(ax), tangent = normalize(b - (a.b) a)."""
-    ax = np.asarray(angle_rad, dtype=np.float64)
+    ax = np.atleast_1d(np.asarray(angle_rad, dtype=np.float64))
     dot = np.einsum("ij,ij->i", a, b)
     tan = b - dot[:, None] * a
     tn = np.sqrt(np.einsum("ij,ij->i", tan, tan))

@@ -110,11 +110,23 @@ def _is_empty_or_full(v: np.ndarray) -> bool:
 
 
 def polygon_contains_points(loops: list[np.ndarray],
-                            points: np.ndarray) -> np.ndarray:
+                            points: np.ndarray,
+                            vertex_model: str = "semi_open") -> np.ndarray:
     """Multi-loop polygon containment: xor of per-loop parity
-    (S2Polygon.kt:1357-1376)."""
+    (S2Polygon.kt:1357-1376).
+
+    P6 vertex models (S2ContainsPointQuery.kt:44 S2VertexModel, applied
+    as in shapeContains): SEMI_OPEN is the parity default; under OPEN a
+    point coinciding with any polygon vertex is never contained, under
+    CLOSED it always is."""
     out = np.zeros(len(points), dtype=bool)
     for verts in loops:
         oi = compute_origin_inside(verts)
         out ^= loop_contains_points(verts, points, oi)
+    if vertex_model != "semi_open":
+        assert vertex_model in ("open", "closed"), vertex_model
+        allv = np.concatenate(loops, axis=0)
+        on_vertex = (points[:, None, :] == allv[None, :, :]) \
+            .all(axis=2).any(axis=1)
+        out[on_vertex] = (vertex_model == "closed")
     return out

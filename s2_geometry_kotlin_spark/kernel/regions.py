@@ -638,10 +638,25 @@ class CellRegion:
 
 class Polygon:
     """Multi-loop polygon; containment = xor over loops
-    (S2Polygon.kt:1357-1376)."""
+    (S2Polygon.kt:1357-1376).
+
+    Loops are NORMALIZED on construction exactly as the reference's
+    initNested does (S2Polygon.kt:323-327 "if (angle < 0) loop.invert()",
+    per the S2 invariant that every stored loop encloses at most half the
+    sphere, S2Polygon.kt:83-84): a hole supplied with reversed winding is
+    inverted back to its disc orientation, so the xor parity yields the
+    polygon-with-hole region (e.g. an annulus), not its complement."""
 
     def __init__(self, loops: list[Loop]):
-        self.loops = loops
+        from . import measures
+        normed = []
+        for lp in loops:
+            if len(lp.vertices) >= 3 and \
+                    measures.loop_curvature(lp.vertices) < 0:
+                normed.append(Loop(lp.vertices[::-1].copy()))
+            else:
+                normed.append(lp)
+        self.loops = normed
 
     def contains_point(self, p: np.ndarray) -> bool:
         inside = False

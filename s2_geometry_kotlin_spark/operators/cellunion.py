@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel import cellid as ck
+from ..kernel.coverer import denormalize as _denormalize_list
+from ..kernel.coverer import difference as _difference_list
 from ..kernel.coverer import normalize as _normalize_list
 
 
@@ -121,6 +123,61 @@ def intersection(a: DataFrame, b: DataFrame) -> DataFrame:
         (F.col("amin") >= F.col("bmin")) & (F.col("amax") <= F.col("bmax")),
         F.col("ca")).otherwise(F.col("cb"))
     return j.select("geom_id", smaller.alias("cell_id")).distinct()
+
+
+def _unsigned(signed_ids) -> list[int]:
+    return [s + (1 << 64) if s < 0 else s for s in signed_ids]
+
+
+def _signed_list(uids) -> list[int]:
+    return [u - (1 << 64) if u >= (1 << 63) else u for u in uids]
+
+
+def difference_df(a: DataFrame, b: DataFrame,
+                  denorm_level: int | None = None) -> DataFrame:
+    """U7 across DataFrames: per-geometry a \\ b via cogrouped
+    applyInPandas over the divide-and-conquer kernel
+    (S2CellUnion.kt:279-291).  Optionally denormalizes the result to a
+    fixed level (U2) so downstream consumers get a uniform grid.
+
+    Geometries are small unions (coverings); the cogroup shuffles only
+    (geom_id, cell_id) rows — never the big fact side."""
+    def _diff(ka, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        ua = _normalize_list(_unsigned(pa["cell_id"].tolist()))
+        ub = _normalize_list(_unsigned(pb["cell_id"].tolist()))
+        out = _difference_list(ua, ub)
+        if denorm_level is not None:
+            out = _denormalize_list(out, denorm_level, 1)
+        return pd.DataFrame({"geom_id": ka[0],
+                             "cell_id": _signed_list(out)})
+
+    return (a.groupBy("geom_id").cogroup(b.groupBy("geom_id"))
+            .applyInPandas(_diff, "geom_id long, cell_id long"))
+
+
+def union_area_stats(cells: DataFrame) -> DataFrame:
+    """U9 area aggregates per geometry (S2CellUnion.kt:354-402):
+    leaf_cells_covered (exact, BIGINT), average-based area (steradians =
+    leaves x leaf avg area), and approx area via per-cell approxArea
+    (S2Cell.kt:213-235) computed in an Arrow batch."""
+    from ..kernel import metrics
+    leaf_area = metrics.AVG_AREA.get_value(30)
+    width = (range_max_col(F.col("cell_id")) -
+             range_min_col(F.col("cell_id"))) / F.lit(2) + F.lit(1)
+
+    @F.pandas_udf("double")
+    def approx_area(cell_id: pd.Series) -> pd.Series:
+        return pd.Series([ck.cell_approx_area(u) for u in
+                          _unsigned(cell_id.tolist())])
+
+    return (cells
+            .withColumn("__leaves", width.cast("long"))
+            .withColumn("__approx", approx_area(F.col("cell_id")))
+            .groupBy("geom_id")
+            .agg(F.sum("__leaves").alias("n_leaves"),
+                 (F.sum("__leaves") * F.lit(leaf_area))
+                 .alias("avg_based_area_sr"),
+                 F.sum("__approx").alias("approx_area_sr")))
 
 
 def expand_union(cells: DataFrame, expand_level: int) -> DataFrame:

@@ -205,12 +205,88 @@ def within_distance_join(pages: DataFrame, spark: SparkSession,
             .select("url", "layer", "polygon_id"))
 
 
+def _pip_edges_array_df(spark: SparkSession,
+                        polygons: list[tuple[str, int, Polygon]]):
+    """(polygon_id, origin_inside, edges: array<struct<cx..cz, dx..dz,
+    ex..ez, seo>>) — per-polygon boundary edge constants for the pure-SQL
+    parity verify.  seo = sign(edge_normal . ORIGIN), precomputed."""
+    from ..kernel import pip as _pip
+    from ..kernel import predicates as _pred
+    o = _pred.ORIGIN
+    rows = []
+    for layer, pid, poly in polygons:
+        oi = False
+        edges = []
+        for lp in poly.loops:
+            verts = lp.vertices
+            oi ^= _pip.compute_origin_inside(verts)
+            n = len(verts)
+            for i in range(n):
+                c = verts[i]
+                d = verts[(i + 1) % n]
+                e = np.cross(c, d)
+                seo = 1 if float(e @ o) > 0 else -1
+                edges.append((float(c[0]), float(c[1]), float(c[2]),
+                              float(d[0]), float(d[1]), float(d[2]),
+                              float(e[0]), float(e[1]), float(e[2]),
+                              seo))
+        rows.append((pid, bool(oi), edges))
+    schema = ("polygon_id long, origin_inside boolean, edges "
+              "array<struct<cx: double, cy: double, cz: double, "
+              "dx: double, dy: double, dz: double, "
+              "ex: double, ey: double, ez: double, seo: int>>")
+    return spark.createDataFrame(rows, schema)
+
+
+def make_pip_sql_predicate(spark: SparkSession,
+                           polygons: list[tuple[str, int, Polygon]]):
+    """Pure-JVM PIP verify: crossing-parity fold over the polygon's edge
+    array — term-for-term the DuckDB oracle's pipcross CTE
+    (functions/sqlgen.pip_join_ctes), so verdicts are bit-exact across
+    engines.  Triage-only signs (no exact-arithmetic escalation): right
+    for the throughput path where points exactly on polygon edges do not
+    occur; the Arrow kernel path (make_pip_udf) keeps the reference's
+    full robustness ladder.
+
+    Returns (edges_df, keep_expr) — join candidates with
+    F.broadcast(edges_df) on polygon_id, filter with keep_expr over
+    page columns (x, y, z from s2f.xyz_cols)."""
+    from ..kernel import predicates as _pred
+    ox, oy, oz = (float(v) for v in _pred.ORIGIN)
+    edges_df = _pip_edges_array_df(spark, polygons)
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    opx = F.lit(oy) * z - F.lit(oz) * y
+    opy = F.lit(oz) * x - F.lit(ox) * z
+    opz = F.lit(ox) * y - F.lit(oy) * x
+
+    def sgn(v):
+        return F.when(v > 0, F.lit(1)).otherwise(F.lit(-1))
+
+    def cross_count(acc, e):
+        t = -sgn(opx * e.cx + opy * e.cy + opz * e.cz)
+        crossing = (
+            (sgn(opx * e.dx + opy * e.dy + opz * e.dz) == t) &
+            (-sgn(e.ex * x + e.ey * y + e.ez * z) == t) &
+            (e.seo == t))
+        return acc + F.when(crossing, F.lit(1)).otherwise(F.lit(0))
+
+    ncross = F.aggregate("edges", F.lit(0), cross_count)
+    keep = (ncross % 2 == 1) != F.col("origin_inside")
+    return edges_df, keep
+
+
 def spatial_join(pages: DataFrame, spark: SparkSession,
                  polygons: list[tuple[str, int, Polygon]],
                  max_cells: int = 32, strategy: str = "broadcast",
-                 nsalt: int = 8) -> DataFrame:
+                 nsalt: int = 8, verify: str = "kernel") -> DataFrame:
     """pages(url, lat, lon, cell_id) x polygon layer -> (url, layer,
-    polygon_id).  Exactly the rows whose point is contained (SEMI_OPEN)."""
+    polygon_id).  Exactly the rows whose point is contained (SEMI_OPEN).
+
+    verify="kernel": Arrow numpy PIP with the robust-predicate ladder
+    (triage -> exact escalation) — the reference-parity path.
+    verify="sql": pure-JVM crossing-parity fold (zero Python workers in
+    the whole join; triage-only signs, identical formula to the oracle).
+    """
     rows = build_covering_rows(polygons, max_cells)
     cov = spark.createDataFrame(rows, _COV_SCHEMA)
     levels = sorted({r[3] for r in rows})
@@ -242,7 +318,15 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
     # single pass: interior fast-accept OR exact PIP — one scan of the
     # pages side (a union of two branches would recompute the whole
     # upstream chain twice when the input is not materialized)
-    pip_udf = make_pip_udf(polygons)
-    keep = F.col("is_interior") | pip_udf(F.col("polygon_id"),
-                                          F.col("lat"), F.col("lon"))
+    if verify == "sql":
+        from .. import functions as s2f
+        xc, yc, zc = s2f.xyz_cols("lat", "lon")
+        joined = joined.withColumns({"x": xc, "y": yc, "z": zc})
+        edges_df, pip_keep = make_pip_sql_predicate(spark, polygons)
+        joined = joined.join(F.broadcast(edges_df), "polygon_id", "inner")
+        keep = F.col("is_interior") | pip_keep
+    else:
+        pip_udf = make_pip_udf(polygons)
+        keep = F.col("is_interior") | pip_udf(F.col("polygon_id"),
+                                              F.col("lat"), F.col("lon"))
     return joined.where(keep).select("url", "layer", "polygon_id")

@@ -43,12 +43,39 @@ def completed_partitions(spark: SparkSession, output_dir: str,
     return {r[0] for r in rows}
 
 
+def parquet_snapshot_provider(spark: SparkSession, output_dir: str) -> str:
+    """Default snapshot provider: a fresh commit token (parquet has no
+    table-level snapshots).  On an Iceberg deployment, pass
+    `iceberg_snapshot_provider` instead."""
+    return uuid.uuid4().hex
+
+
+def iceberg_snapshot_provider(table: str):
+    """Snapshot provider for Iceberg sinks: resolves the table's current
+    snapshot id after the append commit, so lineage rows pin the exact
+    Iceberg snapshot a partition landed in (north_rule: resumable from
+    Iceberg-snapshot checkpoints).  Usable only where an Iceberg catalog
+    is configured; the sandbox has no Iceberg runtime, so this is
+    exercised by tests through a stub provider with the same signature."""
+    def provide(spark: SparkSession, output_dir: str) -> str:
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").collect()
+        return str(row[0][0]) if row else ""
+    return provide
+
+
 def run_resumable(spark: SparkSession, df: DataFrame, partition_col: str,
                   output_dir: str, job_id: str,
-                  only_partitions: set[str] | None = None) -> dict:
+                  only_partitions: set[str] | None = None,
+                  snapshot_provider=None) -> dict:
     """Write `df` partitioned by `partition_col`, skipping partitions the
     lineage already records as done.  `only_partitions` restricts the run
-    (used by tests to simulate an interrupted job).  Returns metrics."""
+    (used by tests to simulate an interrupted job).  Returns metrics.
+
+    `snapshot_provider(spark, output_dir) -> str` pins each lineage row
+    to the sink's commit snapshot (Iceberg snapshot id on a real
+    deployment; a parquet commit token here)."""
     t0 = time.time()
     done = completed_partitions(spark, output_dir, job_id)
     work = df.withColumn("__pk", F.col(partition_col).cast("string"))
@@ -65,7 +92,8 @@ def run_resumable(spark: SparkSession, df: DataFrame, partition_col: str,
      .withColumnRenamed("__pk", partition_col)
      .write.partitionBy(partition_col)
      .mode("append").parquet(os.path.join(output_dir, "data")))
-    snapshot = uuid.uuid4().hex  # Iceberg snapshot id stand-in
+    provider = snapshot_provider or parquet_snapshot_provider
+    snapshot = provider(spark, output_dir)
     wall = time.time() - t0
     lineage_rows = [(job_id, pk, "done", int(n), round(wall, 3),
                      None, snapshot) for pk, n in counts.items()]

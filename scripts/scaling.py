@@ -72,8 +72,8 @@ def run_level(cpus: int) -> dict:
     # measurements as a fixed serial cost.  The measured passes below run
     # at steady state, which is what a long-lived 100 TB job sees.
     geo = make_geo().cache()
-    spatial_join(geo, spark, layer,
-                 strategy="broadcast").write.format("noop") \
+    spatial_join(geo, spark, layer, strategy="broadcast",
+                 verify="sql").write.format("noop") \
         .mode("overwrite").save()
     geo.unpersist()
     make_geo().write.format("noop").mode("overwrite").save()
@@ -88,7 +88,7 @@ def run_level(cpus: int) -> dict:
     geo.count()
     t_join = min(
         _timed(lambda: spatial_join(geo, spark, layer,
-                                    strategy="broadcast")
+                                    strategy="broadcast", verify="sql")
                .write.format("noop").mode("overwrite").save())
         for _ in range(reps))
     spark.stop()

@@ -51,3 +51,33 @@ def test_resume_skips_completed_partitions(spark, tmp_path_factory):
     assert got.count() == geo.count()
     assert got.select("url").distinct().count() == \
         geo.select("url").distinct().count()
+
+
+def test_pluggable_snapshot_provider(spark, tmp_path_factory):
+    """Lineage rows pin the snapshot id returned by the injected
+    provider (Iceberg snapshot id on a real deployment)."""
+    from pyspark.sql import functions as F
+    from s2_geometry_kotlin_spark.plans import lineage as L
+
+    out = str(tmp_path_factory.mktemp("snap_out"))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("bucket"))
+    calls = []
+
+    def fake_iceberg_provider(spark_, output_dir_):
+        calls.append(output_dir_)
+        return f"iceberg-snap-{len(calls)}"
+
+    m1 = L.run_resumable(spark, df, "bucket", out, "jobS",
+                         only_partitions={"0"},
+                         snapshot_provider=fake_iceberg_provider)
+    assert m1["snapshot_id"] == "iceberg-snap-1"
+    m2 = L.run_resumable(spark, df, "bucket", out, "jobS",
+                         snapshot_provider=fake_iceberg_provider)
+    assert m2["snapshot_id"] == "iceberg-snap-2"
+    assert m2["skipped"] == 1
+    lin = spark.read.parquet(f"{out}/_lineage")
+    snaps = {r["partition_key"]: r["snapshot_id"] for r in lin.collect()}
+    # each partition's lineage row carries the snapshot of ITS commit
+    assert snaps["0"] == "iceberg-snap-1"
+    assert snaps["1"] == snaps["2"] == "iceberg-snap-2"
