@@ -295,6 +295,92 @@ def q_routes_cross_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routes_cross_polygons(spark, _routes(), _layer())
 
 
+KNN_FAR_K = 4
+
+
+def q_knn_pages_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 (max-distance targets): k farthest pages per query point via
+    antipodal-cap coverings."""
+    from s2_geometry_kotlin_spark.operators.knn import knn_points_farthest
+    geo = _geo_pages(spark, sf_dir)
+    pages_xyz = geo.select(
+        "url", "cell_id", s2f.s2_xyz("lat", "lon").alias("p")
+    ).select("url", "cell_id", "p.x", "p.y", "p.z")
+    return knn_points_farthest(pages_xyz, spark, _knn_queries()[:10],
+                               KNN_FAR_K)
+
+
+def q_closest_covering_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (S2ClosestCellQuery): nearest covering cell of the layer's
+    city_core coverings per page (labels = polygon ids)."""
+    from s2_geometry_kotlin_spark.operators.cell_knn import \
+        closest_covering_cell
+    core = [p for p in _layer() if p[0] == "city_core"]
+    return closest_covering_cell(_geo_pages(spark, sf_dir), spark, core)
+
+
+PARIS_LAT, PARIS_LON = 48.8566, 2.3522
+
+
+def q_bearing_to_paris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: initial bearing from each page to Paris
+    (S2Earth.getInitialBearing), degrees rounded to 1e-9."""
+    df = P.geoparse(P.load_pages(spark, sf_dir)).where(
+        F.col("lat").isNotNull())
+    return df.select(
+        "url",
+        F.round(s2f.bearing_deg("lat", "lon", F.lit(PARIS_LAT),
+                                F.lit(PARIS_LON)), 9).alias("bearing_r"))
+
+
+def _bearing_oracle_sql() -> str:
+    return ("WITH " + P.pages_cte_duckdb() + ",\n"
+            f"pgeo AS ({_GEO_SRC_DUCK})\n"
+            "SELECT url, round(degrees(atan2("
+            f"sin(radians({PARIS_LON!r}) - radians(lon)) * "
+            f"cos(radians({PARIS_LAT!r})), "
+            f"sin(radians({PARIS_LAT!r}) - radians(lat)) + "
+            f"sin(radians(lat)) * cos(radians({PARIS_LAT!r})) * 2 * "
+            f"sin((radians({PARIS_LON!r}) - radians(lon)) / 2) * "
+            f"sin((radians({PARIS_LON!r}) - radians(lon)) / 2)"
+            ")), 9) AS bearing_r FROM pgeo")
+
+
+def _knn_farthest_oracle_sql() -> str:
+    import numpy as _np
+
+    from s2_geometry_kotlin_spark.functions.sqlgen import xyz_sql
+    from s2_geometry_kotlin_spark.kernel import cellid as _ck
+    qrows = []
+    for qid, lat, lon in _knn_queries()[:10]:
+        x, y, z = _ck.latlng_deg_to_xyz(_np.array([lat]), _np.array([lon]))
+        qrows.append(f"({qid},{float(x[0])!r},{float(y[0])!r},"
+                     f"{float(z[0])!r})")
+    return (
+        "WITH " + P.pages_cte_duckdb() + ",\n"
+        f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+        f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+        f"qpts(query_id, qx, qy, qz) AS (VALUES {','.join(qrows)}),\n"
+        "cand AS (SELECT q.query_id, p.url, "
+        "(p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) + "
+        "(p.z-q.qz)*(p.z-q.qz) AS dist2 FROM pxyz p CROSS JOIN qpts q),\n"
+        "ranked AS (SELECT query_id, url, dist2, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY dist2 DESC, url) AS rank "
+        "FROM cand)\n"
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, url, "
+        f"round(2.0 * 6371010.0 * asin(0.5 * sqrt(dist2)), 3) AS dist_m, "
+        f"rank FROM ranked WHERE rank <= {KNN_FAR_K}")
+
+
+def _closest_cell_oracle_sql() -> str:
+    from s2_geometry_kotlin_spark.functions.sqlgen import xyz_sql
+    from s2_geometry_kotlin_spark.operators.cell_knn import \
+        closest_covering_cell_sql
+    core = [p for p in _layer() if p[0] == "city_core"]
+    # the henc chain already defines pxyz(url, x, y, z); reuse it
+    return _henc_with() + ",\n" + closest_covering_cell_sql(core)
+
+
 _UNION_LANGS = ["de", "en", "es", "fr", "zh"]  # geom_id = index
 
 
@@ -352,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_project": q_route_project,
         "routes_cross_polygons": q_routes_cross_polygons,
         "cell_union_diff": q_cell_union_diff,
+        "knn_pages_farthest": q_knn_pages_farthest,
+        "closest_covering_cell": q_closest_covering_cell,
+        "bearing_to_paris": q_bearing_to_paris,
         "cell_union_leaves": q_cell_union_leaves,
         "token_stats": ts.q_token_stats,
         "quality": ts.q_quality,
@@ -360,9 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "simhash": dedup.q_simhash,
+        "simhash_neardup_pairs": dedup.q_simhash_neardup_pairs,
+        "embed_neardup_pairs": similarity.q_embed_neardup_pairs,
         "embed_topk_brute": similarity.q_embed_topk_brute,
         "embed_lsh_buckets": similarity.q_embed_lsh_buckets,
         "embed_ann_bucketed": similarity.q_embed_ann_bucketed,
+        "embed_ann_multiprobe": similarity.q_embed_ann_multiprobe,
         "within_100km": q_within_100km,
         "cell_center_tile": q_cell_center_tile,
         "spatial_join": q_spatial_join,
@@ -432,6 +525,9 @@ def oracle_sql() -> dict[str, str]:
             route_project_sql(_routes(), ROUTE_RADIUS_RAD)),
         "routes_cross_polygons": routes_cross_polygons_sql(
             _routes(), _layer()),
+        "knn_pages_farthest": _knn_farthest_oracle_sql(),
+        "closest_covering_cell": _closest_cell_oracle_sql(),
+        "bearing_to_paris": _bearing_oracle_sql(),
         "cell_union_diff": henc + ",\n"
             "pl AS (SELECT p.lang, h.cell_id FROM henc h "
             "JOIN pages p ON p.url = h.url)\n"
@@ -457,9 +553,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.dedup_exact_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_sql(),
+        "simhash": dedup.simhash_sql(),
+        "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
+        "embed_neardup_pairs": similarity.embed_neardup_sql(),
         "embed_topk_brute": similarity.embed_topk_brute_sql(),
         "embed_lsh_buckets": similarity.embed_lsh_buckets_sql(),
         "embed_ann_bucketed": similarity.embed_ann_bucketed_sql(),
+        "embed_ann_multiprobe": similarity.embed_ann_multiprobe_sql(),
         "within_100km": _within_oracle_sql(),
         "cell_center_tile": _cell_center_tile_oracle_sql(),
         "spatial_join": _pip_oracle_sql(

@@ -129,22 +129,26 @@ def with_cellid_jvm(df, lat: str = "lat", lon: str = "lon",
     step1 = df.withColumns({"__x": x, "__y": y, "__z": z})
     x, y, z = F.col("__x"), F.col("__y"), F.col("__z")
     ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
-    # largestAbsComponent tie-breaking exactly as the reference
+    # largestAbsComponent tie-breaking exactly as the reference.
+    # Selections below use element_at over tiny arrays rather than
+    # nested CASE chains: when the optimizer inlines these expressions
+    # into their consumers, the tree stays linear in size (a nested CASE
+    # would duplicate the selector subtree once per branch, and the
+    # fully-inlined projection used to exceed janino's 64 KB method
+    # limit, knocking the whole stage out of codegen).
     axis = F.when(ax > ay,
                   F.when(ax > az, F.lit(0)).otherwise(F.lit(2))) \
         .otherwise(F.when(ay > az, F.lit(1)).otherwise(F.lit(2)))
     step2 = step1.withColumn("__axis", axis)
     axis = F.col("__axis")
-    comp = F.when(axis == 0, x).when(axis == 1, y).otherwise(z)
+    comp = F.element_at(F.array(x, y, z), axis + F.lit(1))
     step3 = step2.withColumn("__comp", comp)
     comp = F.col("__comp")
     face = F.when(comp < 0, axis + F.lit(3)).otherwise(axis)
     step4 = step3.withColumn("__face", face)
     face = F.col("__face")
-    u_num = (F.when(face == 0, y).when(face == 1, -x).when(face == 2, -x)
-             .when(face == 3, z).when(face == 4, z).otherwise(-y))
-    v_num = (F.when(face == 0, z).when(face == 1, z).when(face == 2, -y)
-             .when(face == 3, y).when(face == 4, -x).otherwise(-x))
+    u_num = F.element_at(F.array(y, -x, -x, z, z, -y), face + F.lit(1))
+    v_num = F.element_at(F.array(z, z, -y, y, -x, -x), face + F.lit(1))
 
     def st(w: Column) -> Column:
         """Quadratic uvToSt (S2QuadraticProjection.kt:41-44)."""
@@ -184,6 +188,26 @@ def xyz_cols(lat, lon) -> tuple[Column, Column, Column]:
     theta = lonc * F.lit(_DEG2RAD)
     cos_phi = F.cos(phi)
     return (F.cos(theta) * cos_phi, F.sin(theta) * cos_phi, F.sin(phi))
+
+
+def bearing_deg(lat1, lon1, lat2, lon2) -> Column:
+    """D8: initial bearing (degrees clockwise from north) from point 1
+    to point 2 — S2Earth.getInitialBearing (S2Earth.kt:92-100),
+    x = sin(dlat) + sin(lat1)*cos(lat2)*2*haversine(dlng),
+    y = sin(dlng)*cos(lat2), bearing = atan2(y, x).  Pure Columns."""
+    def _c(v):
+        return F.col(v) if isinstance(v, str) else v
+    la1 = _c(lat1) * F.lit(_DEG2RAD)
+    lo1 = _c(lon1) * F.lit(_DEG2RAD)
+    la2 = _c(lat2) * F.lit(_DEG2RAD)
+    lo2 = _c(lon2) * F.lit(_DEG2RAD)
+    cos_lat2 = F.cos(la2)
+    lat_diff = la2 - la1
+    lng_diff = lo2 - lo1
+    hav = F.sin(lng_diff / F.lit(2.0)) * F.sin(lng_diff / F.lit(2.0))
+    x = F.sin(lat_diff) + F.sin(la1) * cos_lat2 * F.lit(2.0) * hav
+    y = F.sin(lng_diff) * cos_lat2
+    return F.degrees(F.atan2(y, x))
 
 
 def cell_parent(cell: Column, level: int) -> Column:
@@ -228,6 +252,20 @@ def s2_snap_to_cell_center(lat: Column, lon: Column, level: int) -> Column:
     center (builder/snap/S2CellIdSnapFunction.kt); returns struct
     (lat, lon)."""
     return s2_cell_center(cell_parent(s2_cellid(lat, lon), level))
+
+
+def snap_int_latlng(lat: Column, lon: Column,
+                    exponent: int = 7) -> tuple[Column, Column]:
+    """B2: IntLatLngSnapFunction — snap to the 10^-exponent degree grid
+    (builder/snap/IntLatLngSnapFunction.kt, E5/E6/E7 encodings).  Pure
+    Columns; exponent 7 is the reference default precision."""
+    scale = F.lit(float(10 ** exponent))
+    return (F.round(lat * scale) / scale, F.round(lon * scale) / scale)
+
+
+def snap_identity(lat: Column, lon: Column) -> tuple[Column, Column]:
+    """B2: IdentitySnapFunction (no snapping, zero snap radius)."""
+    return lat, lon
 
 
 # ---------------------------------------------------------------------------

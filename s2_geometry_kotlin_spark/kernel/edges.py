@@ -126,6 +126,53 @@ def edge_edge_chord2(a, b, c, d) -> np.ndarray:
     return np.where(cross, 0.0, md)
 
 
+def edge_intersection(a: np.ndarray, b: np.ndarray, c: np.ndarray,
+                      d: np.ndarray) -> np.ndarray:
+    """M8: intersection point of crossing edges AB and CD
+    (S2EdgeCrossings.getIntersection, S2EdgeCrossings.kt:241-306).
+
+    Follows the reference's escalation structure at reduced fidelity:
+    the numerically-stable cross-product form (X-Y)x(X+Y) first (the
+    core of getIntersectionSimple, :320-340), falling back to exact
+    Fraction arithmetic when the result direction is degenerate.  The
+    sign is fixed so the result lies on the front hemisphere of both
+    edges (dot with the vertex sum, :300-305).
+
+    REQUIRES: the edges actually cross (crossingSign > 0).
+    """
+    def stable_cross(x, y):
+        # (x-y) x (x+y) == 2 (x x y), with less cancellation
+        return np.cross(x - y, x + y)
+
+    na = stable_cross(a, b)
+    nb = stable_cross(c, d)
+    r = np.cross(na, nb)
+    n = float(np.linalg.norm(r))
+    if n < 1e-28:
+        # near-parallel great circles: exact arithmetic direction
+        from fractions import Fraction as Fr
+
+        def fr(v):
+            return [Fr(float(t)) for t in v]
+
+        def crossf(x, y):
+            return [x[1] * y[2] - x[2] * y[1],
+                    x[2] * y[0] - x[0] * y[2],
+                    x[0] * y[1] - x[1] * y[0]]
+
+        rf = crossf(crossf(fr(a), fr(b)), crossf(fr(c), fr(d)))
+        r = np.array([float(t) for t in rf])
+        n = float(np.linalg.norm(r))
+        if n == 0.0:
+            # identical great circles: any shared point; use midpoint
+            r = (a + b) / 2.0
+            n = float(np.linalg.norm(r))
+    r = r / n
+    if float(r @ ((a + b) + (c + d))) < 0:
+        r = -r
+    return r
+
+
 # ---------------------------------------------------------------------------
 # D3: cell distances (region/S2Cell.kt:254-386) via boundary vertices
 # ---------------------------------------------------------------------------

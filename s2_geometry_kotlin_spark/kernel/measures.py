@@ -156,6 +156,35 @@ def loop_centroid(vertices: np.ndarray) -> np.ndarray:
     return out
 
 
+def planar_centroid_triangle(a, b, c) -> np.ndarray:
+    """M4: planar centroid (a+b+c)/3 (S2Centroids.kt:68)."""
+    return (np.asarray(a) + np.asarray(b) + np.asarray(c)) / 3.0
+
+
+def edge_true_centroid(a, b) -> np.ndarray:
+    """M4: true centroid of geodesic edge AB x its length
+    (S2Centroids.kt:131-153): sqrt(|a-b|^2/|a+b|^2) * (a+b); summing
+    over edges gives a polyline's centroid."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    vdiff = a - b
+    vsum = a + b
+    sin2 = float(vdiff @ vdiff)
+    cos2 = float(vsum @ vsum)
+    if cos2 == 0.0:
+        return np.zeros(3)
+    return math.sqrt(sin2 / cos2) * vsum
+
+
+def polyline_centroid(vertices: np.ndarray) -> np.ndarray:
+    """Length-weighted true centroid of a polyline (sum of
+    edge_true_centroid over its edges)."""
+    out = np.zeros(3)
+    for i in range(len(vertices) - 1):
+        out += edge_true_centroid(vertices[i], vertices[i + 1])
+    return out
+
+
 def polygon_area(loops: list[np.ndarray]) -> float:
     """M3: multi-loop area = sum of signed loop areas (holes are
     reverse-oriented loops), normalized into [0, 4pi]

@@ -322,6 +322,74 @@ class Cap:
         d = self.center - p
         return float(d @ d) <= self.radius2
 
+    def add_point(self, p: np.ndarray) -> "Cap":
+        """S2Cap.addPoint (S2Cap.kt:224-235): grow to include p."""
+        if self.is_empty():
+            return Cap(np.asarray(p, dtype=np.float64), 0.0)
+        d = self.center - np.asarray(p, dtype=np.float64)
+        return Cap(self.center, max(self.radius2,
+                                    min(4.0, float(d @ d))))
+
+    def expanded(self, distance_rad: float) -> "Cap":
+        """S2Cap.expanded (S2Cap.kt:262-266): all points within
+        `distance_rad` of this cap; the empty cap stays empty."""
+        assert distance_rad >= 0.0
+        if self.is_empty():
+            return Cap(self.center, -1.0)
+        r = float(dist.chord2_to_radians(max(0.0, self.radius2)))
+        return Cap(self.center,
+                   float(dist.radians_to_chord2(r + distance_rad)))
+
+    def union(self, other: "Cap") -> "Cap":
+        """S2Cap.union (S2Cap.kt:274-295): smallest cap enclosing both."""
+        if self.radius2 < other.radius2:
+            return other.union(self)
+        if self.is_full() or other.is_empty():
+            return self
+        this_r = float(dist.chord2_to_radians(max(0.0, self.radius2)))
+        other_r = float(dist.chord2_to_radians(max(0.0, other.radius2)))
+        d = self.center - other.center
+        distance = float(dist.chord2_to_radians(
+            min(4.0, float(d @ d))))
+        if this_r >= distance + other_r:
+            return self
+        result_r = 0.5 * (distance + this_r + other_r)
+        from . import edges as ek
+        result_center = ek.interpolate_at_distance(
+            self.center[None, :], other.center[None, :],
+            0.5 * (distance - this_r + other_r))[0]
+        return Cap(result_center,
+                   float(dist.radians_to_chord2(result_r)))
+
+    def rect_bound(self) -> "LatLngRect":
+        """S2Cap.rectBound (S2Cap.kt:340-388): lat band +- cap angle;
+        lng full when a pole is inside, else +- asin(sin a / cos lat)."""
+        if self.is_empty():
+            return LatLngRect.empty()
+        c = self.center
+        center_lat = math.atan2(float(c[2]),
+                                math.hypot(float(c[0]), float(c[1])))
+        center_lng = math.atan2(float(c[1]), float(c[0]))
+        cap_angle = float(dist.chord2_to_radians(max(0.0, self.radius2)))
+        all_longitudes = False
+        lat_lo = center_lat - cap_angle
+        if lat_lo <= -math.pi / 2:
+            lat_lo = -math.pi / 2
+            all_longitudes = True
+        lat_hi = center_lat + cap_angle
+        if lat_hi >= math.pi / 2:
+            lat_hi = math.pi / 2
+            all_longitudes = True
+        lng_lo, lng_hi = -math.pi, math.pi
+        if not all_longitudes:
+            sin_a = math.sin(cap_angle)
+            sin_c = math.cos(center_lat)
+            if sin_a <= sin_c:
+                angle_a = math.asin(sin_a / sin_c)
+                lng_lo = math.remainder(center_lng - angle_a, 2 * math.pi)
+                lng_hi = math.remainder(center_lng + angle_a, 2 * math.pi)
+        return LatLngRect(lat_lo, lat_hi, lng_lo, lng_hi)
+
     def complement(self) -> "Cap":
         if self.is_full():
             return Cap(-self.center, -1.0)
@@ -430,6 +498,57 @@ class LatLngRect:
                        max(self.lat_hi, o.lat_hi), 0, 0)
         r.lng = self.lng.union(o.lng)
         return r
+
+    def get_vertex(self, k: int) -> tuple[float, float]:
+        """(lat, lng) of vertex k CCW from lower-left."""
+        lat = self.lat_lo if k in (0, 1) else self.lat_hi
+        lng = self.lng.lo if k in (0, 3) else self.lng.hi
+        return lat, lng
+
+    def expanded_by_distance(self, distance_rad: float) -> "LatLngRect":
+        """S2LatLngRect.expandedByDistance, positive case
+        (S2LatLngRect.kt:435-447): union of the rect with the rect
+        bounds of caps centered on each vertex."""
+        assert distance_rad >= 0.0
+        r2 = float(dist.radians_to_chord2(distance_rad))
+        out = self
+        for k in range(4):
+            lat, lng = self.get_vertex(k)
+            x, y, z = ck.latlng_deg_to_xyz(
+                np.array([math.degrees(lat)]),
+                np.array([math.degrees(lng)]))
+            cap = Cap(np.array([x[0], y[0], z[0]]), r2)
+            out = out.union(cap.rect_bound())
+        return out
+
+    def get_distance_latlng(self, lat: float, lng: float) -> float:
+        """S2LatLngRect.getDistance(S2LatLng) (S2LatLngRect.kt:620-650):
+        radians from the point to the rect (0 when inside)."""
+        assert not self.is_empty()
+        if self.lng.contains(lng):
+            # directly north/south of the lat band
+            return max(0.0, max(self.lat_lo - lat, lat - self.lat_hi))
+        # nearest meridian boundary of the lng interval
+        nearest_lng = self.lng.lo
+        d_lo = abs(_wrap_angle(lng - self.lng.lo))
+        d_hi = abs(_wrap_angle(lng - self.lng.hi))
+        if d_hi < d_lo:
+            nearest_lng = self.lng.hi
+        # distance from point to the boundary segment of that meridian
+        # between lat_lo and lat_hi, via the point-edge kernel
+        px, py, pz = ck.latlng_deg_to_xyz(
+            np.array([math.degrees(lat)]), np.array([math.degrees(lng)]))
+        ax, ay, az = ck.latlng_deg_to_xyz(
+            np.array([math.degrees(self.lat_lo)]),
+            np.array([math.degrees(nearest_lng)]))
+        bx, by, bz = ck.latlng_deg_to_xyz(
+            np.array([math.degrees(self.lat_hi)]),
+            np.array([math.degrees(nearest_lng)]))
+        p = np.array([[px[0], py[0], pz[0]]])
+        a = np.array([[ax[0], ay[0], az[0]]])
+        b = np.array([[bx[0], by[0], bz[0]]])
+        d2 = dist.point_edge_chord2(p, a, b)[0, 0]
+        return float(dist.chord2_to_radians(d2))
 
     def contains_cell(self, cell: Cell) -> bool:
         return self.contains_rect(cell.rect_bound())

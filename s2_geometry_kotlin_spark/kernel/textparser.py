@@ -1,0 +1,72 @@
+"""S2TextParser (dilivia/s2/S2TextParser.kt:46-145) — the human-readable
+fixture notation used throughout the reference's test suite:
+
+- points / loops / polylines: "lat:lng, lat:lng, ..."
+- polygons: loops separated by ';' (holes in any winding; Polygon
+  normalizes), "" = empty, "full" = full
+- cell ids: "f/0123..." debug strings (face then child positions)
+- cell unions: comma-separated debug strings
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellid as ck
+from .polyline import Polyline
+from .regions import Loop, Polygon
+
+
+def make_point(text: str) -> np.ndarray:
+    lat, lng = (float(t) for t in text.split(":"))
+    x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lng]))
+    return np.array([x[0], y[0], z[0]])
+
+
+def parse_latlngs(text: str) -> list[tuple[float, float]]:
+    out = []
+    for tok in text.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        lat, lng = tok.split(":")
+        out.append((float(lat), float(lng)))
+    return out
+
+
+def make_loop(text: str) -> Loop:
+    """S2TextParser.makeLoop; 'empty'/'full' specials use the reference's
+    single-vertex encodings (z = +-1)."""
+    if text == "empty":
+        return Loop(np.array([[0.0, 0.0, 1.0]]))
+    if text == "full":
+        return Loop(np.array([[0.0, 0.0, -1.0]]))
+    return Loop.from_latlng_text(text)
+
+
+def make_polyline(text: str) -> Polyline:
+    return Polyline.from_latlng_text(text)
+
+
+def make_polygon(text: str) -> Polygon:
+    """Loops separated by ';'.  Winding is normalized by Polygon
+    (S2Polygon init inverts loops enclosing more than half the sphere)."""
+    loops = [make_loop(part.strip()) for part in text.split(";")
+             if part.strip()]
+    return Polygon(loops)
+
+
+def make_cellid(text: str) -> int:
+    """Debug string 'f/0123...' -> uint64 id (S2CellId.fromDebugString)."""
+    out = ck.from_debug_string([text])
+    cid = int(out[0])
+    if cid == 0:
+        raise ValueError(f"invalid cell debug string: {text!r}")
+    return cid
+
+
+def make_cell_union(text: str) -> list[int]:
+    """Comma-separated debug strings -> normalized cell union."""
+    from .coverer import normalize
+    return normalize([make_cellid(tok.strip())
+                      for tok in text.split(",") if tok.strip()])

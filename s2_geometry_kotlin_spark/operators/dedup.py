@@ -145,6 +145,100 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4          # 4 bands of 8 bits
+SIMHASH_MAX_HAMMING = 3    # pigeonhole: <=3 flips leave some band intact
+
+# dialect-neutral: first 8 hex chars of md5(word) as a 32-bit int
+# (instr + substr evaluate identically in Spark SQL and DuckDB)
+_H32 = "(" + " + ".join(
+    f"CAST(instr('0123456789abcdef', substr(md5(word), {k + 1}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (7 - k)}" for k in range(8)) + ")"
+
+
+def _simhash_sql(idiv: str) -> str:
+    """cte body over `words(doc_id, word)` -> (doc_id, simhash)."""
+    bit_sums = ", ".join(
+        f"sum(2 * ((h {idiv} {1 << i}) % 2) - 1) AS s{i}"
+        for i in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return (f"SELECT doc_id, {bits} AS simhash FROM ("
+            f"SELECT doc_id, {bit_sums} FROM ("
+            f"SELECT doc_id, {_H32} AS h FROM words) hh GROUP BY doc_id"
+            f") sums")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: per-bit majority vote over the
+    32-bit md5-derived hashes of the document's words."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " +"))
+        .alias("word"))
+    words.createOrReplaceTempView("words")
+    return spark.sql(_simhash_sql("div"))
+
+
+def simhash_sql() -> str:
+    return (f"WITH words AS (SELECT doc_id, "
+            f"unnest(string_split_regex(trim(text), ' +')) AS word "
+            f"FROM documents)\n" + _simhash_sql("//"))
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded bucket join (4 x 8-bit bands) then
+    exact Hamming verify <= 3.  By pigeonhole the band join finds EVERY
+    pair within the Hamming threshold — candidate generation is an
+    equi-join, never all-pairs."""
+    sh = q_simhash(spark, sf_dir)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     ((F.col("simhash") / F.lit(1 << (8 * b)))
+                      .cast("long") % 256).alias("key"))
+            for b in range(SIMHASH_BANDS)])).alias("bk"))
+    banded = banded.select("doc_id", "simhash",
+                           F.col("bk.band").alias("band"),
+                           F.col("bk.key").alias("key"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
+                   (F.col("x.key") == F.col("y.key")) &
+                   (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"),
+                    F.col("x.simhash").alias("ha"),
+                    F.col("y.simhash").alias("hb"))
+            .distinct())
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", hamming.cast("long"))
+            .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def simhash_neardup_sql() -> str:
+    bands = ",".join(f"({b})" for b in range(SIMHASH_BANDS))
+    return (f"WITH words AS (SELECT doc_id, "
+            f"unnest(string_split_regex(trim(text), ' +')) AS word "
+            f"FROM documents),\n"
+            f"sh AS ({_simhash_sql('//')}),\n"
+            f"bands(b) AS (VALUES {bands}),\n"
+            f"banded AS (SELECT doc_id, simhash, b AS band, "
+            f"(simhash // (1 << (8 * b))) % 256 AS key "
+            f"FROM sh CROSS JOIN bands),\n"
+            f"cand AS (SELECT DISTINCT x.doc_id AS doc_a, "
+            f"y.doc_id AS doc_b, x.simhash AS ha, y.simhash AS hb "
+            f"FROM banded x JOIN banded y ON x.band = y.band "
+            f"AND x.key = y.key AND x.doc_id < y.doc_id)\n"
+            f"SELECT doc_a, doc_b, "
+            f"CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming "
+            f"FROM cand WHERE bit_count(xor(ha, hb)) "
+            f"<= {SIMHASH_MAX_HAMMING}")
+
+
 def minhash_lsh_sql() -> str:
     return f"""WITH sh AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents

@@ -35,14 +35,21 @@ from ..kernel.regions import Cap
 
 
 def _query_covering_rows(queries: list[tuple[int, float, float]],
-                         radius_rad: float, max_cells: int = 16):
-    """(query_id, qx, qy, qz, cell_id, level) covering rows, driver-side."""
+                         radius_rad: float, max_cells: int = 16,
+                         antipodal: bool = False):
+    """(query_id, qx, qy, qz, cell_id, level) covering rows, driver-side.
+
+    With antipodal=True the covering caps are centered at -q (for
+    max-distance queries, D7: the k FARTHEST points from q are the k
+    nearest to its antipode) while qx/qy/qz still carry the true query
+    point for exact distance computation."""
     coverer = RegionCoverer(max_cells=max_cells)
     rows = []
     r2 = float(dist.radians_to_chord2(radius_rad))
     for qid, lat, lon in queries:
         x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lon]))
-        cap = Cap(np.array([x[0], y[0], z[0]]), r2)
+        center = np.array([x[0], y[0], z[0]])
+        cap = Cap(-center if antipodal else center, r2)
         for cid in coverer.get_covering(cap):
             signed = cid - (1 << 64) if cid >= (1 << 63) else cid
             rows.append((qid, float(x[0]), float(y[0]), float(z[0]),
@@ -135,6 +142,76 @@ def knn_points(pages_xyz: DataFrame, spark: SparkSession,
         radius = min(math.pi, radius * 2.0)
     if stats is not None:
         stats["rounds"] = rounds
+    if results is None:
+        return None
+    return results.select("query_id", "url", "dist_m", "rank")
+
+
+def knn_points_farthest(pages_xyz: DataFrame, spark: SparkSession,
+                        queries: list[tuple[int, float, float]], k: int,
+                        initial_radius_rad: float = 0.35) -> DataFrame:
+    """D7 (max-distance targets, index/S2MaxDistanceTargets.kt): the k
+    FARTHEST pages per query point.
+
+    Same candidate-pruning plan as knn_points with the covering cap
+    centered at the ANTIPODE -q: a page outside the antipodal covering
+    of radius r satisfies chord2(p,-q) > chord2(r), i.e.
+    chord2(p,q) < 4 - chord2(r) (|p-q|^2 + |p+q|^2 = 4 exactly), so once
+    the k-th farthest distance found is >= 4 - chord2(r) no unseen page
+    can displace the top-k.  Distances rank DESCENDING.
+    """
+    remaining = list(queries)
+    radius = initial_radius_rad
+    results: DataFrame | None = None
+    while remaining:
+        terminal = radius >= math.pi
+        rows = _query_covering_rows(remaining, radius, antipodal=True)
+        cov = spark.createDataFrame(
+            rows, "query_id long, qx double, qy double, qz double, "
+                  "cell_id long, level int")
+        levels = sorted({r[5] for r in rows})
+        parents = F.array(*[
+            (F.col("cell_id").bitwiseAND(
+                F.lit(~(2 * (1 << (2 * (30 - lv))) - 1)))
+             .bitwiseOR(F.lit(1 << (2 * (30 - lv))))).cast("long")
+            for lv in levels
+        ])
+        probe = pages_xyz.withColumn("probe_cell", F.explode(parents))
+        cand = probe.join(
+            F.broadcast(cov.withColumnRenamed("cell_id", "probe_cell")),
+            "probe_cell", "inner")
+        dx = F.col("x") - F.col("qx")
+        dy = F.col("y") - F.col("qy")
+        dz = F.col("z") - F.col("qz")
+        cand = cand.withColumn("dist2", dx * dx + dy * dy + dz * dz)
+        w0 = Window.partitionBy("query_id", "probe_cell") \
+            .orderBy(F.desc("dist2"), "url")
+        cand = (cand.withColumn("r0", F.row_number().over(w0))
+                .where(F.col("r0") <= k).drop("r0"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("dist2"), "url")
+        dist_m = F.round(
+            F.lit(2.0 * dist.EARTH_RADIUS_METERS) *
+            F.asin(F.lit(0.5) * F.sqrt(F.col("dist2"))), 3)
+        topk = (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select("query_id", "url", F.col("dist2"),
+                        dist_m.alias("dist_m"), "rank"))
+        if terminal:
+            results = topk if results is None else \
+                results.unionByName(topk)
+            break
+        got = topk.groupBy("query_id").agg(
+            F.count("*").alias("n"), F.min("dist2").alias("kth")).collect()
+        bound = 4.0 - float(dist.radians_to_chord2(radius))
+        done_ids = {r["query_id"] for r in got
+                    if r["n"] >= k and r["kth"] >= bound}
+        done_df = topk.where(F.col("query_id").isin(list(done_ids))) \
+            if done_ids else None
+        if done_df is not None:
+            results = done_df if results is None else \
+                results.unionByName(done_df)
+        remaining = [q for q in remaining if q[0] not in done_ids]
+        radius = min(math.pi, radius * 2.0)
     if results is None:
         return None
     return results.select("query_id", "url", "dist_m", "rank")

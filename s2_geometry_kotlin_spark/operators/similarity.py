@@ -134,6 +134,119 @@ def q_embed_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("cosine", 6).alias("cosine_r")))
 
 
+def q_embed_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: each query also probes every bucket at Hamming
+    distance 1 (flip one hyperplane bit), the standard recall fix for
+    vectors near a partition boundary — candidate generation stays an
+    equi-join on bucket, now with N_PLANES+1 probe rows per query
+    (constant fan-out, no cross join)."""
+    vecs = _load(spark, sf_dir)
+    buckets = q_embed_lsh_buckets(spark, sf_dir)
+    vb = vecs.join(buckets, "vec_id")
+    probes = F.array(F.col("bucket"),
+                     *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                       for i in range(N_PLANES)])
+    queries = (vb.where(F.col("vec_id") % QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm"),
+                       F.explode(probes).alias("bucket")))
+    cand = (vb.join(F.broadcast(queries), "bucket")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", _dot(F.col("v"), F.col("qv")) /
+                        (F.col("norm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cosine", 6).alias("cosine_r")))
+
+
+def embed_ann_multiprobe_sql() -> str:
+    bits = []
+    for i in range(N_PLANES):
+        plane = "[" + ",".join(repr(float(v)) for v in PLANES[i]) + "]"
+        bits.append(f"CASE WHEN list_dot_product(v, {plane}::DOUBLE[]) > 0 "
+                    f"THEN {1 << i} ELSE 0 END")
+    bucket_expr = " + ".join(bits)
+    flips = ",".join(["(0)"] + [f"({1 << i})" for i in range(N_PLANES)])
+    return f"""WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+),
+vb AS (SELECT vec_id, v, norm, {bucket_expr} AS bucket FROM vecs),
+flips(f) AS (VALUES {flips}),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+         xor(bucket, f) AS bucket
+  FROM vb CROSS JOIN flips
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT q.query_id, x.vec_id,
+         list_dot_product(x.v, q.qv) / (x.norm * q.qnorm) AS cosine
+  FROM vb x JOIN queries q ON x.bucket = q.bucket
+  WHERE x.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+NEARDUP_COSINE = 0.3  # synthetic embeddings are near-orthogonal;
+# 0.3 marks the top ~1% most-similar pairs (real dedup would use ~0.95)
+
+
+def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: vectors sharing an LSH bucket
+    with cosine >= threshold (candidate generation = equi-join on
+    bucket; the verify only touches bucket-mates, never all pairs)."""
+    vecs = _load(spark, sf_dir)
+    buckets = q_embed_lsh_buckets(spark, sf_dir)
+    vb = vecs.join(buckets, "vec_id")
+    x = vb.alias("x")
+    y = vb.alias("y")
+    cand = (x.join(y, (F.col("x.bucket") == F.col("y.bucket")) &
+                   (F.col("x.vec_id") < F.col("y.vec_id")))
+            .withColumn("cosine",
+                        _dot(F.col("x.v"), F.col("y.v")) /
+                        (F.col("x.norm") * F.col("y.norm"))))
+    return (cand.where(F.col("cosine") >= NEARDUP_COSINE)
+            .select(F.col("x.vec_id").alias("vec_a"),
+                    F.col("y.vec_id").alias("vec_b"),
+                    F.round("cosine", 6).alias("cosine_r")))
+
+
+def embed_neardup_sql() -> str:
+    bits = []
+    for i in range(N_PLANES):
+        plane = "[" + ",".join(repr(float(v)) for v in PLANES[i]) + "]"
+        bits.append(f"CASE WHEN list_dot_product(v, {plane}::DOUBLE[]) > 0 "
+                    f"THEN {1 << i} ELSE 0 END")
+    bucket_expr = " + ".join(bits)
+    return f"""WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+),
+vb AS (SELECT vec_id, v, norm, {bucket_expr} AS bucket FROM vecs),
+cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         list_dot_product(x.v, y.v) / (x.norm * y.norm) AS cosine
+  FROM vb x JOIN vb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine_r
+FROM cand WHERE cosine >= {NEARDUP_COSINE}"""
+
+
 def embed_ann_bucketed_sql() -> str:
     bits = []
     for i in range(N_PLANES):

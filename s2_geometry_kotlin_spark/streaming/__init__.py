@@ -76,3 +76,76 @@ def run_stream_to_memory(spark: SparkSession, events_dir: str,
          .outputMode("complete").start())
     q.processAllAvailable()
     q.stop()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-cell session state via
+# applyInPandasWithState (the "custom stateful operators" surface of the
+# north star's streaming guidance)
+# ---------------------------------------------------------------------------
+
+CELL_STATE_SCHEMA = ("cell_l8 long, n_events long, n_users long, "
+                     "first_seen timestamp, last_seen timestamp")
+_STATE_SCHEMA = "n long, users array<long>, first timestamp, last timestamp"
+
+
+def cell_session_state(df: DataFrame, level: int = 8) -> DataFrame:
+    """Custom stateful per-cell tracker: running event count, distinct
+    users (bounded set), first/last event time — state kept per level-8
+    cell (NoTimeout: state lives for the stream; a production deploy
+    would add a processing-time timeout to expire idle tiles).  The
+    distributed analogue of an
+    in-memory per-tile accumulator; state lives in the state store, keyed
+    by cell, and survives micro-batches.
+
+    Batch inputs fall back to the equivalent groupBy aggregate (same
+    output schema) so stream==batch tests can compare results."""
+    import pandas as pd
+
+    tagged = geotag_events(df).withColumn(
+        "cell_l8", s2f.cell_parent(F.col("cell_id"), level))
+
+    if not tagged.isStreaming:
+        return (tagged.groupBy("cell_l8")
+                .agg(F.count("*").alias("n_events"),
+                     F.countDistinct("user_id").alias("n_users"),
+                     F.min("ts").alias("first_seen"),
+                     F.max("ts").alias("last_seen")))
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        users: set[int] = set()
+        first = None
+        last = None
+        if state.exists:
+            n, users_l, first, last = state.get
+            users = set(users_l)
+        for pdf in pdfs:
+            n += len(pdf)
+            users.update(int(u) for u in pdf["user_id"].tolist())
+            lo = pdf["ts"].min()
+            hi = pdf["ts"].max()
+            first = lo if first is None else min(first, lo)
+            last = hi if last is None else max(last, hi)
+        state.update((n, sorted(users)[:1000], first, last))
+        yield pd.DataFrame({"cell_l8": [key[0]], "n_events": [n],
+                            "n_users": [len(users)],
+                            "first_seen": [first], "last_seen": [last]})
+
+    return (tagged.groupBy("cell_l8")
+            .applyInPandasWithState(
+                update, CELL_STATE_SCHEMA, _STATE_SCHEMA, "update",
+                GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_stream_to_memory(spark: SparkSession, events_dir: str,
+                                  table: str = "stream_state") -> None:
+    src = stream_events_from_dir(spark, events_dir)
+    out = cell_session_state(src)
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()

@@ -154,3 +154,28 @@ def test_cell_areas():
     kids = sum(ck.cell_exact_area(int(ck.sc_child(cid, p)))
                for p in range(4))
     assert abs(kids - exact) / exact < 1e-9
+
+
+def test_text_parser():
+    """S2TextParser fixture notation round-trips (S2TextParser.kt:46-145)."""
+    from s2_geometry_kotlin_spark.kernel import textparser as tp
+    p = tp.make_point("48.8566:2.3522")
+    assert abs(np.linalg.norm(p) - 1) < 1e-15
+    loop = tp.make_loop("0:-180, 0:-90, 0:0, 0:90")
+    assert len(loop.vertices) == 4
+    poly = tp.make_polygon("10:10, 10:20, 20:20, 20:10; "
+                           "12:12, 12:14, 14:14, 14:12")
+    assert len(poly.loops) == 2
+    # hole winding normalized: a point in the hole is NOT contained
+    assert not poly.contains_point(tp.make_point("13:13"))
+    assert poly.contains_point(tp.make_point("17:17"))
+    cid = tp.make_cellid("3/0123")
+    assert ck.sc_level(cid) == 4 and cid >> 61 == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tp.make_cellid("7/012")
+    # four siblings normalize to the whole face cell
+    cu = tp.make_cell_union("3/0, 3/1, 3/2, 3/3")
+    assert cu == [ck.sc_parent(cid, 0)]
+    line = tp.make_polyline("0:0, 0:10, 10:10")
+    assert len(line.vertices) == 3
