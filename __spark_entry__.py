@@ -118,6 +118,38 @@ def q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", s2f.tile_index(F.col("lat"), F.col("lon")).alias("tile"))
 
 
+def q_tile_to_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 raster -> vector: for each distinct 1-degree raster tile with
+    pages, the leaf S2 cell of the tile's center — the inverse of
+    cell_center_tile (Tiles.tileBounds/tileCenter -> S2CellId)."""
+    df = P.geoparse(P.load_pages(spark, sf_dir)).where(
+        F.col("lat").isNotNull())
+    tiles = (df.select(s2f.tile_index(F.col("lat"), F.col("lon"))
+                       .alias("tile")).distinct())
+    center_lat = (F.floor(F.col("tile") / F.lit(360)) + F.lit(0.5)) - 90.0
+    center_lon = (F.col("tile") % F.lit(360) + F.lit(0.5)) - 180.0
+    return (tiles.withColumn("clat", center_lat)
+            .withColumn("clon", center_lon)
+            .select("tile", s2f.s2_cellid("clat", "clon")
+                    .alias("center_cell")))
+
+
+def _tile_to_cell_oracle_sql() -> str:
+    tile_expr = (
+        "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
+        "(-?\\d+\\.\\d+)\\)', 1) AS DOUBLE) - (-90.0)) / 1.0) AS BIGINT)"
+        " * 360 + "
+        "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
+        "(-?\\d+\\.\\d+)\\)', 2) AS DOUBLE) - (-180.0)) / 1.0) AS BIGINT)")
+    src = (f"SELECT tile, (CAST(tile // 360 AS DOUBLE) + 0.5) - 90.0 AS "
+           f"lat, (CAST(tile % 360 AS DOUBLE) + 0.5) - 180.0 AS lon "
+           f"FROM (SELECT DISTINCT {tile_expr} AS tile FROM pages "
+           f"WHERE text LIKE '%GEO(%') t")
+    inner = sqlgen.cellid_from_latlng_query(src, "tile")
+    return (inner.replace("WITH ", "WITH " + P.pages_cte_duckdb() + ",\n", 1)
+            + "\nSELECT tile, cell_id AS center_cell FROM henc")
+
+
 def q_lang_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation push-down probe: pages + distinct hosts per (lang, l4)."""
     df = _geo_pages(spark, sf_dir)
@@ -288,6 +320,15 @@ def q_route_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ROUTE_RADIUS_RAD)
 
 
+def q_route_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (S2CrossingEdgeQuery): per route edge, the polygon-boundary
+    edges it crosses — cell-keyed edge-index candidate join + P2
+    verify."""
+    from s2_geometry_kotlin_spark.operators.routes import \
+        crossing_edges_indexed
+    return crossing_edges_indexed(spark, _routes(), _layer())
+
+
 def q_routes_cross_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P9: route-edge x polygon-boundary crossing counts."""
     from s2_geometry_kotlin_spark.operators.routes import \
@@ -437,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_near_route": q_pages_near_route,
         "route_project": q_route_project,
         "routes_cross_polygons": q_routes_cross_polygons,
+        "route_crossing_edges": q_route_crossing_edges,
         "cell_union_diff": q_cell_union_diff,
         "knn_pages_farthest": q_knn_pages_farthest,
         "closest_covering_cell": q_closest_covering_cell,
@@ -469,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_token": q_cell_token,
         "hot_cells": q_hot_cells,
         "tile_index": q_tile_index,
+        "tile_to_cell": q_tile_to_cell,
         "lang_cell_profile": q_lang_cell_profile,
     }
 
@@ -525,6 +568,10 @@ def oracle_sql() -> dict[str, str]:
             route_project_sql(_routes(), ROUTE_RADIUS_RAD)),
         "routes_cross_polygons": routes_cross_polygons_sql(
             _routes(), _layer()),
+        "route_crossing_edges": __import__(
+            "s2_geometry_kotlin_spark.operators.routes",
+            fromlist=["crossing_edges_oracle_sql"])
+            .crossing_edges_oracle_sql(_routes(), _layer()),
         "knn_pages_farthest": _knn_farthest_oracle_sql(),
         "closest_covering_cell": _closest_cell_oracle_sql(),
         "bearing_to_paris": _bearing_oracle_sql(),
@@ -594,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
             "(-?\\d+\\.\\d+)\\)', 2) AS DOUBLE) - (-180.0)) / 1.0) AS BIGINT)"
             " AS tile FROM pages WHERE text LIKE '%GEO(%'",
+        "tile_to_cell": _tile_to_cell_oracle_sql(),
         "lang_cell_profile": henc + ",\n"
             "pl AS (SELECT p.lang, h.url, h.cell_id FROM henc h "
             "JOIN pages p ON p.url = h.url)\n"

@@ -114,7 +114,15 @@ def with_cellid_jvm(df, lat: str = "lat", lon: str = "lon",
     Bit-identical to the numpy kernel unless JVM sin/cos differ from
     numpy's in the last ulp AND that ulp crosses a 2^-30 st-grid
     boundary (asserted zero on the synthesized coordinate grids by
-    tests/test_jvm_cellid.py).
+    tests/test_round2_fixes.py).
+
+    CAUTION: avoid filtering directly on the unmaterialized output
+    column — predicate pushdown substitutes the full expression chain
+    through every projection layer, exploding the optimizer tree.
+    Materialize (cache/write) first, or compare via projections.  The
+    Arrow kernel (s2_cellid) remains the measured hot path; this Column
+    form exists for python-worker-free deployments and as the
+    cross-engine SQL mirror of the encode.
     """
     from ..kernel.tables import LOOKUP_POS
     latc, lonc = F.col(lat), F.col(lon)

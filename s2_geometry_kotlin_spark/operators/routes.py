@@ -286,6 +286,158 @@ def routes_cross_polygons(spark: SparkSession,
             .where(F.col("n_crossings") > 0))
 
 
+def crossing_edges_indexed(spark: SparkSession,
+                           routes: list[tuple[int, Polyline]],
+                           polygons) -> DataFrame:
+    """P9 (S2CrossingEdgeQuery, index/shape/S2CrossingEdgeQuery.kt:91-341)
+    at edge granularity: which polygon-boundary edges does each route
+    edge cross?
+
+    The reference walks a shape index cell-by-cell to gather candidate
+    edges (getCandidates :156-184) and verifies with crossingSign.  The
+    distributed re-expression:
+
+    1. both edge sets get per-edge cell coverings (the cell-keyed edge
+       index — the distributed MutableS2ShapeIndex analogue),
+    2. candidates = equi-joins on covering cells, matched in BOTH
+       directions (query-cell ancestor == index cell, and index-cell
+       ancestor == query cell) so mixed covering levels pair up,
+    3. exact verify = the P2 crossingSign triage determinants as pure
+       Columns (identical formula to the oracle).
+
+    Here both sides are driver-size layers; at scale either side can be
+    a parquet-backed edge table with the identical plan."""
+    from .edges import _ancestors_at, edge_covering_rows
+
+    # query-side: route edges with covering cells (radius 0)
+    q_cov = []
+    for rid, line in routes:
+        v = line.vertices
+        from ..kernel.coverer import RegionCoverer
+        from ..kernel.regions import Cap
+        import math as _m
+        coverer = RegionCoverer(max_cells=8, level_mod=2)
+        for i in range(len(v) - 1):
+            mid = v[i] + v[i + 1]
+            mid = mid / np.linalg.norm(mid)
+            half = _m.asin(0.5 * min(
+                2.0, float(np.linalg.norm(v[i + 1] - v[i]))))
+            r2 = float(dist.radians_to_chord2(min(_m.pi, half * 1.01)))
+            for cid in coverer.get_covering(Cap(mid, r2)):
+                q_cov.append((rid, i, ck.sc_level(cid),
+                              cid - (1 << 64) if cid >= (1 << 63) else cid))
+    qdf = spark.createDataFrame(
+        q_cov, "route_id long, redge long, qlevel int, qcell long")
+    # index-side: polygon edges with coverings (radius 0 via the edge
+    # covering helper)
+    p_cov = edge_covering_rows(polygons, 0.0)
+    pdf_cov = spark.createDataFrame(
+        p_cov, "polygon_id long, pedge long, plevel int, pcell long")
+
+    q_levels = sorted({r[2] for r in q_cov})
+    p_levels = sorted({r[2] for r in p_cov})
+    # direction 1: index cell coarser-or-equal -> probe query ancestors
+    dir1 = (qdf.withColumn("k", F.explode(_ancestors_at(p_levels, "qcell")))
+            .join(pdf_cov.withColumnRenamed("pcell", "k"), "k")
+            .select("route_id", "redge", "polygon_id", "pedge"))
+    # direction 2: query cell coarser -> probe index ancestors
+    dir2 = (pdf_cov.withColumn("k", F.explode(_ancestors_at(q_levels,
+                                                            "pcell")))
+            .join(qdf.withColumnRenamed("qcell", "k"), "k")
+            .select("route_id", "redge", "polygon_id", "pedge"))
+    cand = dir1.unionByName(dir2).distinct()
+
+    # attach endpoint/normal constants for the P2 verify
+    r_rows = []
+    for rid, eid, _cum, *vals in route_edge_rows(routes):
+        d = dict(zip(_EDGE_FIELDS, vals))
+        r_rows.append((rid, eid, d["cx"], d["cy"], d["cz"],
+                       d["dx"], d["dy"], d["dz"],
+                       d["ex"], d["ey"], d["ez"]))
+    rdf = spark.createDataFrame(
+        r_rows, "route_id long, redge long, ax double, ay double, "
+                "az double, bx double, by double, bz double, "
+                "nabx double, naby double, nabz double")
+    p_rows = []
+    for layer, pid, poly in polygons:
+        eid = 0
+        for lp in poly.loops:
+            verts = lp.vertices
+            n = len(verts)
+            for i in range(n):
+                c = verts[i]
+                d = verts[(i + 1) % n]
+                e = np.cross(c, d)
+                p_rows.append((pid, eid,
+                               float(c[0]), float(c[1]), float(c[2]),
+                               float(d[0]), float(d[1]), float(d[2]),
+                               float(e[0]), float(e[1]), float(e[2])))
+                eid += 1
+    pdf = spark.createDataFrame(
+        p_rows, "polygon_id long, pedge long, cx double, cy double, "
+                "cz double, dx double, dy double, dz double, "
+                "ncdx double, ncdy double, ncdz double")
+    j = cand.join(F.broadcast(rdf), ["route_id", "redge"]) \
+        .join(F.broadcast(pdf), ["polygon_id", "pedge"])
+
+    def sgn(v: Column) -> Column:
+        return F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)) \
+            .otherwise(F.lit(0))
+
+    acb = -sgn(F.col("nabx") * F.col("cx") + F.col("naby") * F.col("cy") +
+               F.col("nabz") * F.col("cz"))
+    bda = sgn(F.col("nabx") * F.col("dx") + F.col("naby") * F.col("dy") +
+              F.col("nabz") * F.col("dz"))
+    cbd = -sgn(F.col("ncdx") * F.col("bx") + F.col("ncdy") * F.col("by") +
+               F.col("ncdz") * F.col("bz"))
+    dac = sgn(F.col("ncdx") * F.col("ax") + F.col("ncdy") * F.col("ay") +
+              F.col("ncdz") * F.col("az"))
+    crossing = (acb != 0) & (acb == bda) & (acb == cbd) & (acb == dac)
+    return (j.where(crossing)
+            .select("route_id", "redge", "polygon_id", "pedge"))
+
+
+def crossing_edges_oracle_sql(routes, polygons) -> str:
+    """Brute-force oracle at edge granularity: every (route edge,
+    polygon edge) pair, same crossingSign triage."""
+    r_rows = []
+    for rid, eid, _cum, *vals in route_edge_rows(routes):
+        d = dict(zip(_EDGE_FIELDS, vals))
+        r_rows.append(
+            f"({rid},{eid},{d['cx']!r},{d['cy']!r},{d['cz']!r},"
+            f"{d['dx']!r},{d['dy']!r},{d['dz']!r},"
+            f"{d['ex']!r},{d['ey']!r},{d['ez']!r})")
+    p_rows = []
+    for layer, pid, poly in polygons:
+        eid = 0
+        for lp in poly.loops:
+            verts = lp.vertices
+            n = len(verts)
+            for i in range(n):
+                c = verts[i]
+                dd = verts[(i + 1) % n]
+                e = np.cross(c, dd)
+                p_rows.append(
+                    f"({pid},{eid},{c[0]!r},{c[1]!r},{c[2]!r},"
+                    f"{dd[0]!r},{dd[1]!r},{dd[2]!r},"
+                    f"{e[0]!r},{e[1]!r},{e[2]!r})")
+                eid += 1
+    return f"""WITH
+redg(route_id, redge, ax, ay, az, bx, by, bz, nabx, naby, nabz) AS
+  (VALUES {','.join(r_rows)}),
+pedg(polygon_id, pedge, cx, cy, cz, dx, dy, dz, ncdx, ncdy, ncdz) AS
+  (VALUES {','.join(p_rows)})
+SELECT r.route_id, r.redge, p.polygon_id, p.pedge
+FROM redg r CROSS JOIN pedg p
+WHERE -sign(r.nabx*p.cx + r.naby*p.cy + r.nabz*p.cz) <> 0
+  AND -sign(r.nabx*p.cx + r.naby*p.cy + r.nabz*p.cz)
+      = sign(r.nabx*p.dx + r.naby*p.dy + r.nabz*p.dz)
+  AND -sign(r.nabx*p.cx + r.naby*p.cy + r.nabz*p.cz)
+      = -sign(p.ncdx*r.bx + p.ncdy*r.by + p.ncdz*r.bz)
+  AND -sign(r.nabx*p.cx + r.naby*p.cy + r.nabz*p.cz)
+      = sign(p.ncdx*r.ax + p.ncdy*r.ay + p.ncdz*r.az)"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
