@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bearing_to_paris": q_bearing_to_paris,
         "cell_union_leaves": q_cell_union_leaves,
         "token_stats": ts.q_token_stats,
+        "bpe_token_stats": ts.q_bpe_token_stats,
         "quality": ts.q_quality,
         "domain_id": ts.q_domain_id,
         "fingerprint": ts.q_fingerprint,
@@ -498,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_buckets": similarity.q_embed_lsh_buckets,
         "embed_ann_bucketed": similarity.q_embed_ann_bucketed,
         "embed_ann_multiprobe": similarity.q_embed_ann_multiprobe,
+        "embed_ivf_topk": similarity.q_embed_ivf_topk,
         "within_100km": q_within_100km,
         "cell_center_tile": q_cell_center_tile,
         "spatial_join": q_spatial_join,
@@ -594,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS geom_id, "
             f"COUNT(*) * {4 ** 22} AS n_leaves FROM l8 GROUP BY 1",
         "token_stats": ts.token_stats_sql(),
+        "bpe_token_stats": ts.bpe_token_stats_sql(),
         "quality": ts.quality_sql(),
         "domain_id": ts.domain_id_sql(),
         "fingerprint": ts.fingerprint_sql(),
@@ -607,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_lsh_buckets": similarity.embed_lsh_buckets_sql(),
         "embed_ann_bucketed": similarity.embed_ann_bucketed_sql(),
         "embed_ann_multiprobe": similarity.embed_ann_multiprobe_sql(),
+        "embed_ivf_topk": similarity.embed_ivf_topk_sql(),
         "within_100km": _within_oracle_sql(),
         "cell_center_tile": _cell_center_tile_oracle_sql(),
         "spatial_join": _pip_oracle_sql(

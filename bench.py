@@ -93,6 +93,22 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     timed("tile_index", lambda: force(
         geo.select("url", s2f.tile_index(F.col("lat"),
                                          F.col("lon")).alias("tile"))))
+    # q6: kNN pages for the 8 hot cities (candidate join + window top-k)
+    from s2_geometry_kotlin_spark.operators.knn import knn_points
+    from s2_geometry_kotlin_spark.sources.pages import CITIES
+    qs = [(i, la / 1e6, lo / 1e6) for i, (la, lo) in enumerate(CITIES)]
+    x, y, z = s2f.xyz_cols("lat", "lon")
+    pages_xyz = geo.select("url", "cell_id", x.alias("x"), y.alias("y"),
+                           z.alias("z"))
+    timed("knn_pages_cities", lambda: force(
+        knn_points(pages_xyz, spark, qs, 8, n_pages_hint=n_pages)))
+    # q7: pages within 150km of the fixture routes (polyline join,
+    # min-fold exact distance — pure JVM)
+    from s2_geometry_kotlin_spark.operators.routes import (fixture_routes,
+                                                           pages_near_route)
+    timed("pages_near_route", lambda: force(
+        pages_near_route(geo, spark, fixture_routes(),
+                         150000.0 / 6371010.0)))
     return timings, n_pages
 
 

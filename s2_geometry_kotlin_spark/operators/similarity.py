@@ -279,3 +279,162 @@ ranked AS (
 )
 SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means centroids + nprobe search
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_NPROBE = 2
+IVF_ITERS = 5
+
+
+_IVF_CENTROIDS: list | None = None
+IVF_TRAIN_PARQUET = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """Deterministic driver-side k-means (seeded init = the first IVF_K
+    vectors by vec_id, IVF_ITERS Lloyd steps) over a FIXED training
+    sample, read without Spark and memoized: the centroid list is a
+    CONSTANT shared verbatim by the Spark plan and the DuckDB oracle —
+    at 10^12 rows the same centroids would come from a driver-side
+    sample, and assignment stays a per-row fold (no shuffle)."""
+    global _IVF_CENTROIDS
+    if _IVF_CENTROIDS is not None:
+        return _IVF_CENTROIDS
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(IVF_TRAIN_PARQUET).to_pandas()
+    tbl = tbl.sort_values("vec_id").head(4096)
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in tbl["embedding"]])
+    cents = vecs[:IVF_K].copy()
+    for _ in range(IVF_ITERS):
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(IVF_K):
+            sel = vecs[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+    _IVF_CENTROIDS = [[float(x) for x in np.round(c, 6)] for c in cents]
+    return _IVF_CENTROIDS
+
+
+def _ivf_assign_expr(cents: list[list[float]], vcol):
+    """argmin-L2 centroid id as a fold (first strictly-smaller wins ->
+    lowest id on ties, matching the oracle's ORDER BY d2, cid)."""
+    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    init = F.struct(F.lit(1e18).alias("d2"),
+                    F.lit(-1).cast("long").alias("cid"))
+
+    def merge(acc, i):
+        cv = F.element_at(carr, (i + F.lit(1)).cast("int"))
+        d2 = F.aggregate(
+            F.zip_with(vcol, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda s, t: s + t)
+        return F.when(d2 < acc.d2,
+                      F.struct(d2.alias("d2"),
+                               i.cast("long").alias("cid"))).otherwise(acc)
+
+    return F.aggregate(F.sequence(F.lit(0), F.lit(IVF_K - 1)),
+                       init, merge)
+
+
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: vectors are bucketed by nearest coarse centroid; each
+    query probes its IVF_NPROBE nearest centroid lists and takes the
+    cosine top-k there — the inverted-file scale path (candidate
+    generation = equi-join on centroid id)."""
+    cents = _ivf_centroids()
+    vecs = _load(spark, sf_dir)
+    assigned = vecs.withColumn("cid",
+                               _ivf_assign_expr(cents, F.col("v")).cid)
+    # query probe lists: nprobe nearest centroids via two chained argmins
+    # (nprobe=2: best cid, then best cid excluding the first)
+    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+
+    def second_best(vcol, first):
+        init = F.struct(F.lit(1e18).alias("d2"),
+                        F.lit(-1).cast("long").alias("cid"))
+
+        def merge(acc, i):
+            cv = F.element_at(carr, (i + F.lit(1)).cast("int"))
+            d2 = F.aggregate(
+                F.zip_with(vcol, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda s, t: s + t)
+            return F.when((i.cast("long") != first) & (d2 < acc.d2),
+                          F.struct(d2.alias("d2"),
+                                   i.cast("long").alias("cid"))) \
+                .otherwise(acc)
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(IVF_K - 1)),
+                           init, merge).cid
+
+    queries = (assigned.where(F.col("vec_id") % QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm"),
+                       F.explode(F.array(
+                           F.col("cid"),
+                           second_best(F.col("v"), F.col("cid"))))
+                       .alias("cid")))
+    cand = (assigned.join(F.broadcast(queries), "cid")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", _dot(F.col("v"), F.col("qv")) /
+                        (F.col("norm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cosine", 6).alias("cosine_r")))
+
+
+def embed_ivf_topk_sql() -> str:
+    cents = _ivf_centroids()
+    rows = ",".join(
+        f"({i}, [" + ",".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+),
+cents(cid, cv) AS (VALUES {rows}),
+dists AS (
+  SELECT x.vec_id, c.cid,
+         list_sum(list_transform(list_zip(x.v, c.cv),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+  FROM vecs x CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dists) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dists WHERE vec_id % {QUERY_MOD} = 0)
+  WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id,
+         list_dot_product(x.v, qq.v) / (x.norm * qq.norm) AS cosine
+  FROM qprobe q
+  JOIN assigned a ON a.cid = q.cid
+  JOIN vecs x ON x.vec_id = a.vec_id
+  JOIN vecs qq ON qq.vec_id = q.query_id
+  WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= {TOP_K}"""

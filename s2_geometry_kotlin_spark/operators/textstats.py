@@ -142,3 +142,41 @@ def fingerprint_sql() -> str:
             f"range(1, greatest(len({w}) - 4, 1) + 1), "
             f"i -> md5(array_to_string(list_slice({w}, i, i + 4), ' ')))) "
             f"AS min_shingle_md5 FROM documents")
+
+
+# BPE-ish pre-tokenization: alpha runs, single digits, single
+# non-alnum marks — the GPT-style pre-split shape (word pieces before
+# merges).  Identical regex semantics in Spark (Java regex) and DuckDB
+# (RE2) for these basic classes.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting per document: total pre-tokens plus the
+    alpha/digit/punct split — all JVM regexp, no Python."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    alpha = F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+    digit = F.filter(toks, lambda t: t.rlike("^[0-9]$"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe"),
+        F.size(alpha).cast("long").alias("n_alpha"),
+        F.size(digit).cast("long").alias("n_digit"),
+        (F.size(toks) - F.size(alpha) - F.size(digit)).cast("long")
+        .alias("n_punct"))
+
+
+def bpe_token_stats_sql() -> str:
+    return f"""SELECT doc_id,
+  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+  len(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+      t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_alpha,
+  len(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+      t -> regexp_matches(t, '^[0-9]$'))) AS n_digit,
+  len(regexp_extract_all(text, '{BPE_PATTERN}'))
+    - len(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+          t -> regexp_matches(t, '^[A-Za-z]+$')))
+    - len(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+          t -> regexp_matches(t, '^[0-9]$'))) AS n_punct
+FROM documents"""
