@@ -250,6 +250,48 @@ def _pip_oracle_sql(select: str) -> str:
             + pip_join_ctes(_layer()) + "\n" + select)
 
 
+def _bool_oracle_sql(op: str) -> str:
+    """B3 oracle: membership in A op B BY DEFINITION — independent PIP
+    verdicts against the operand polygons, combined with SQL boolean
+    logic (the Spark side joins against the CONSTRUCTED polygon)."""
+    from s2_geometry_kotlin_spark.functions.sqlgen import (pip_join_ctes,
+                                                           xyz_sql)
+    from s2_geometry_kotlin_spark.operators.booleans import (
+        boolean_oracle_select, operand_layer)
+    return ("WITH " + P.pages_cte_duckdb() + ",\n"
+            f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+            f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+            + pip_join_ctes(operand_layer()) + "\n"
+            + boolean_oracle_select(op))
+
+
+def q_pages_in_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 INTERSECTION: pages inside constructed A∩B per fixture pair."""
+    from s2_geometry_kotlin_spark.operators.booleans import pages_in_boolean
+    return pages_in_boolean(_geo_pages(spark, sf_dir), spark,
+                            "intersection")
+
+
+def q_pages_in_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 UNION: pages inside constructed A∪B per fixture pair."""
+    from s2_geometry_kotlin_spark.operators.booleans import pages_in_boolean
+    return pages_in_boolean(_geo_pages(spark, sf_dir), spark, "union")
+
+
+def q_pages_in_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 DIFFERENCE: pages inside constructed A−B per fixture pair."""
+    from s2_geometry_kotlin_spark.operators.booleans import pages_in_boolean
+    return pages_in_boolean(_geo_pages(spark, sf_dir), spark, "difference")
+
+
+def q_pages_in_sym_difference(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """B3 SYMMETRIC_DIFFERENCE: pages inside constructed A⊕B per pair."""
+    from s2_geometry_kotlin_spark.operators.booleans import pages_in_boolean
+    return pages_in_boolean(_geo_pages(spark, sf_dir), spark,
+                            "symmetric_difference")
+
+
 # deterministic kNN query points: 8 hot cities + a coarse global grid
 def _knn_queries() -> list[tuple[int, float, float]]:
     from s2_geometry_kotlin_spark.sources.pages import CITIES
@@ -469,6 +511,15 @@ def q_cell_union_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("__w").alias("n_leaves")))
 
 
+def q_polygon_loop_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M3 oracle: per-loop spherical areas of the fixture layer via
+    the measures kernel; DuckDB recomputes them with the independent
+    Van Oosterom-Strackee excess formula over the raw vertices."""
+    from s2_geometry_kotlin_spark.operators.measures_query import (
+        polygon_loop_areas)
+    return polygon_loop_areas(spark)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from s2_geometry_kotlin_spark.operators import dedup, similarity
     from s2_geometry_kotlin_spark.operators import textstats as ts
@@ -484,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_covering_cell": q_closest_covering_cell,
         "bearing_to_paris": q_bearing_to_paris,
         "cell_union_leaves": q_cell_union_leaves,
+        "polygon_loop_areas": q_polygon_loop_areas,
         "token_stats": ts.q_token_stats,
         "bpe_token_stats": ts.q_bpe_token_stats,
         "quality": ts.q_quality,
@@ -506,6 +558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_salted": q_spatial_join_salted,
         "spatial_join_sql": q_spatial_join_sql,
         "polygon_page_counts": q_polygon_page_counts,
+        "pages_in_intersection": q_pages_in_intersection,
+        "pages_in_union": q_pages_in_union,
+        "pages_in_difference": q_pages_in_difference,
+        "pages_in_sym_difference": q_pages_in_sym_difference,
         "pages_synth": q_pages_synth,
         "geoparse": q_geoparse,
         "cell_leaf": q_cell_leaf,
@@ -595,6 +651,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 "
             "WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS geom_id, "
             f"COUNT(*) * {4 ** 22} AS n_leaves FROM l8 GROUP BY 1",
+        "polygon_loop_areas": __import__(
+            "s2_geometry_kotlin_spark.operators.measures_query",
+            fromlist=["polygon_loop_areas_sql"]).polygon_loop_areas_sql(),
         "token_stats": ts.token_stats_sql(),
         "bpe_token_stats": ts.bpe_token_stats_sql(),
         "quality": ts.quality_sql(),
@@ -622,6 +681,10 @@ def oracle_sql() -> dict[str, str]:
         "polygon_page_counts": _pip_oracle_sql(
             "SELECT layer, polygon_id, COUNT(*) AS n_pages FROM pipjoin "
             "GROUP BY 1, 2"),
+        "pages_in_intersection": _bool_oracle_sql("intersection"),
+        "pages_in_union": _bool_oracle_sql("union"),
+        "pages_in_difference": _bool_oracle_sql("difference"),
+        "pages_in_sym_difference": _bool_oracle_sql("symmetric_difference"),
         "pages_synth": pages + " SELECT url, warc_ts, "
                                "length(text) AS text_len, lang FROM pages",
         "geoparse": pages + " " + _GEO_SRC_DUCK,

@@ -69,7 +69,15 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
 
     # q1: geocode (scan + geoparse + leaf cell assignment), measured on
     # the uncached plan; downstream queries then reuse a cached copy as a
-    # real pipeline would
+    # real pipeline would.  Also timed per stage (scan-only, +geoparse,
+    # full) so a wall-time drift between rounds is attributable: same
+    # plan + same stage ratios but slower absolute times = VM noise
+    # (documented sandbox throttle); a changed ratio = plan drift.
+    timed("geocode_stage_scan", lambda: force(
+        pages.select("url", "text")))
+    timed("geocode_stage_geoparse", lambda: force(
+        P.geoparse(pages).where(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")))
     timed("geocode", lambda: force(make_geo()))
     geo = make_geo().cache()
     geo.count()
@@ -109,6 +117,22 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     timed("pages_near_route", lambda: force(
         pages_near_route(geo, spark, fixture_routes(),
                          150000.0 / 6371010.0)))
+    # q8: IVF centroid assignment, Catalyst HOF fold vs Arrow argmin
+    # kernel over the same vectors (the K=4096-scale decision point;
+    # VERDICT r2 asked for the measured ratio, not the documented one)
+    from s2_geometry_kotlin_spark.operators import similarity as sim
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+           .cache())
+    emb.count()
+    cents = sim._ivf_centroids(sim._ivf_train_path(sf_dir))
+    timed("ivf_assign_hof", lambda: force(
+        emb.withColumn("cid", sim._ivf_assign_expr(cents,
+                                                   F.col("v")).cid)))
+    timed("ivf_assign_arrow", lambda: force(
+        sim.ivf_assign_arrow(emb, cents)))
+    emb.unpersist()
     return timings, n_pages
 
 
@@ -117,8 +141,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session(cpus)
     timings, n_pages = run_queries(spark, sf_dir)
-    total = round(sum(v for k, v in timings.items()
-                      if k != "synthesize_table"), 3)
+    # diagnostics are excluded from the headline total so `value` stays
+    # comparable across rounds (stage times double-count geocode; the
+    # ivf pair is a kernel A/B, not a headline query)
+    diag = {"synthesize_table", "geocode_stage_scan",
+            "geocode_stage_geoparse", "ivf_assign_hof",
+            "ivf_assign_arrow"}
+    total = round(sum(v for k, v in timings.items() if k not in diag), 3)
     join_secs = timings.get("spatial_join", 1.0)
     geocode_secs = timings.get("geocode", 1.0)
     out = {

@@ -205,14 +205,21 @@ def _move_origin_to_valid_face(face, a, ab, a_uv) -> int:
     return nf
 
 
+def _sum_equals(u: float, v: float, w: float) -> bool:
+    """Exact test that u + v == w with no rounding in the sum
+    (S2EdgeClipping.kt:409 sumEquals): the three float comparisons hold
+    simultaneously iff the exact real-number sum equals w."""
+    return (u + v == w) and (u == w - v) and (v == w - u)
+
+
 def _get_next_face(face, exit_uv, axis, n, target_face) -> int:
     """(S2EdgeClipping.kt:532-551)."""
     other = 1 - axis
     if abs(float(exit_uv[other])) == 1.0 and \
             uvw_face(face, other, 1 if float(exit_uv[other]) > 0 else 0) \
             == target_face and \
-            float(exit_uv[0]) * float(n[0]) + \
-            float(exit_uv[1]) * float(n[1]) == -float(n[2]):
+            _sum_equals(float(exit_uv[0]) * float(n[0]),
+                        float(exit_uv[1]) * float(n[1]), -float(n[2])):
         return target_face
     return uvw_face(face, axis, 1 if float(exit_uv[axis]) > 0 else 0)
 

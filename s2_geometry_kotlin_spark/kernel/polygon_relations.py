@@ -62,7 +62,10 @@ def contains_nested(a: Loop, b: Loop) -> bool:
     if not a.rect_bound().contains_rect(b.rect_bound()) and \
             not a.rect_bound().intersects_rect(b.rect_bound()):
         return False
-    if len(b.vertices) < 2:
+    if len(b.vertices) < 3:
+        # the reference requires >= 3 vertices (S2Loop.containsNested
+        # precondition); a 2-vertex loop would alias b.vertices[2 % len]
+        # back to vertex 0 and make the wedge test degenerate
         return False
     m = find_vertex(a, b.vertices[1])
     if m < 0:
@@ -70,7 +73,7 @@ def contains_nested(a: Loop, b: Loop) -> bool:
     n = len(a.vertices)
     return wedge_contains(a.vertices[(m - 1) % n], a.vertices[m],
                           a.vertices[(m + 1) % n],
-                          b.vertices[0], b.vertices[2 % len(b.vertices)])
+                          b.vertices[0], b.vertices[2])
 
 
 def compare_boundary(a: Loop, b: Loop, b_is_hole: bool = False) -> int:

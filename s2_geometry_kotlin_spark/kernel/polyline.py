@@ -131,6 +131,16 @@ class Polyline:
             i = j
         return out
 
+    def simplify(self, tolerance_rad: float) -> "Polyline":
+        """B4 tolerance-true simplification via S2PolylineSimplifier's
+        bearing-window algebra (kernel/polyline_simplifier.py; reference
+        region/S2PolylineSimplifier.kt + the S2Polyline.initToSimplified
+        usage, S2Polygon.kt:896) — typically much stronger thinning than
+        subsample_vertices at the same tolerance."""
+        from .polyline_simplifier import simplify_polyline
+        idx = simplify_polyline(self.vertices, tolerance_rad)
+        return Polyline(self.vertices[idx])
+
     # -- S2Region contract (for the coverer) ---------------------------------
 
     def rect_bound(self) -> LatLngRect:

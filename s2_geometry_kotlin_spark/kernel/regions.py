@@ -268,15 +268,46 @@ class LngInterval:
         return out.add_point(o.hi)
 
     def expanded(self, margin: float) -> "LngInterval":
-        if self.is_empty() or margin <= 0:
-            return self
-        if self.length() + 2 * margin + 2 * DBL_EPS >= 2 * math.pi:
-            return LngInterval.full()
+        """S1Interval.expanded (S1Interval.kt:398-413) incl. negative
+        margins (shrink, used by the polyline simplifier's avoidDisc)."""
+        if margin >= 0:
+            if self.is_empty() or margin == 0:
+                return self
+            if self.length() + 2 * margin + 2 * DBL_EPS >= 2 * math.pi:
+                return LngInterval.full()
+        else:
+            if self.is_full():
+                return self
+            if self.length() + 2 * margin - 2 * DBL_EPS <= 0:
+                return LngInterval.empty()
         lo = _wrap_angle(self.lo - margin)
         hi = _wrap_angle(self.hi + margin)
         if lo <= -math.pi:
             lo = math.pi
         return LngInterval(lo, hi)
+
+    def fast_contains(self, p: float) -> bool:
+        """S1Interval.fastContains: containment without the ±pi point
+        normalization (assumes p in [-pi, pi])."""
+        if self.is_inverted():
+            return (p >= self.lo or p <= self.hi) and not self.is_empty()
+        return self.lo <= p <= self.hi
+
+    def intersection(self, y: "LngInterval") -> "LngInterval":
+        """S1Interval.intersection (S1Interval.kt:461-489): the SHORTER
+        of the two originals when the intersection would be two disjoint
+        arcs."""
+        if y.is_empty():
+            return LngInterval.empty()
+        if self.fast_contains(y.lo):
+            if self.fast_contains(y.hi):
+                return y if y.length() < self.length() else self
+            return LngInterval(y.lo, self.hi)
+        if self.fast_contains(y.hi):
+            return LngInterval(self.lo, y.hi)
+        if y.fast_contains(self.lo):
+            return self
+        return LngInterval.empty()
 
 
 def _pos_angle(a: float) -> float:
@@ -462,6 +493,12 @@ class LatLngRect:
     def empty() -> "LatLngRect":
         r = LatLngRect(1.0, -1.0, 0.0, 0.0)
         r.lng = LngInterval.empty()
+        return r
+
+    @staticmethod
+    def full() -> "LatLngRect":
+        r = LatLngRect(-math.pi / 2, math.pi / 2, 0.0, 0.0)
+        r.lng = LngInterval.full()
         return r
 
     def is_empty(self) -> bool:
@@ -759,37 +796,82 @@ class Polygon:
     """Multi-loop polygon; containment = xor over loops
     (S2Polygon.kt:1357-1376).
 
-    Loops are NORMALIZED on construction exactly as the reference's
-    initNested does (S2Polygon.kt:323-327 "if (angle < 0) loop.invert()",
-    per the S2 invariant that every stored loop encloses at most half the
-    sphere, S2Polygon.kt:83-84): a hole supplied with reversed winding is
-    inverted back to its disc orientation, so the xor parity yields the
-    polygon-with-hole region (e.g. an annulus), not its complement."""
+    Loops are NORMALIZED + RE-ORIENTED on construction following the
+    reference's initOriented (S2Polygon.kt:279-343):
+
+    1. remember which input loops contain the fixed S2 origin;
+    2. invert any loop whose curvature is negative (near-zero curvature:
+       invert iff it contains the origin), so every stored loop encloses
+       at most half the sphere (S2Polygon.kt:83-84);
+    3. if the normalized xor region's origin-containment disagrees with
+       the origin-containment the caller's loop set implied (step 5 of
+       initOriented, S2Polygon.kt:340-342), the whole polygon is
+       complemented via the ``inverted`` parity bit — so a single shell
+       that legitimately encloses MORE than half the sphere round-trips
+       instead of being silently replaced by its complement.
+    """
 
     def __init__(self, loops: list[Loop]):
-        from . import measures
+        from . import measures, pip
+        contained_origin: list[bool] = []
         normed = []
         for lp in loops:
-            if len(lp.vertices) >= 3 and \
-                    measures.loop_curvature(lp.vertices) < 0:
-                normed.append(Loop(lp.vertices[::-1].copy()))
+            contained_origin.append(bool(lp.origin_inside))
+            n = len(lp.vertices)
+            if n >= 3:
+                angle = measures.loop_curvature(lp.vertices)
+                max_err = 9.73 * DBL_EPS * n  # S2LoopMeasures.kt:303,324
+                if abs(angle) > max_err:
+                    invert = angle < 0
+                else:
+                    invert = bool(lp.origin_inside)
             else:
-                normed.append(lp)
+                invert = False
+            normed.append(Loop(lp.vertices[::-1].copy()) if invert else lp)
         self.loops = normed
+        # initOriented steps 4-5: originLoop = deepest loop containing
+        # the origin, else a TOP-LEVEL SHELL (the reference's loop(0) —
+        # initNested orders loops parents-first, so its loop(0) is a
+        # depth-0 shell; our loops keep caller order, so select by
+        # depth); polygon xor-parity at the origin vs what the caller's
+        # orientation of that loop implied.
+        self.inverted = False
+        if normed:
+            polygon_contains_origin = False
+            candidates = []
+            for i, lp in enumerate(normed):
+                if lp.origin_inside:
+                    polygon_contains_origin ^= True
+                    candidates.append(i)
+            if not candidates and not any(contained_origin):
+                # fast path (the common all-shells-away-from-origin
+                # case): no orientation evidence involves the origin,
+                # so the polygon is never the complement
+                return
+            from .polygon_relations import loop_depths
+            depths = loop_depths(self)
+            if candidates:
+                origin_idx = max(candidates, key=lambda i: depths[i])
+            else:
+                origin_idx = depths.index(min(depths))
+            if contained_origin[origin_idx] != polygon_contains_origin:
+                self.inverted = True
 
     def contains_point(self, p: np.ndarray) -> bool:
-        inside = False
+        inside = self.inverted
         for lp in self.loops:
             inside ^= lp.contains_point(p)
         return inside
 
     def contains_points(self, pts: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(pts), dtype=bool)
+        out = np.full(len(pts), self.inverted, dtype=bool)
         for lp in self.loops:
             out ^= lp.contains_points(pts)
         return out
 
     def rect_bound(self) -> LatLngRect:
+        if self.inverted:
+            return LatLngRect.full()
         # bound of shell loops (depth 0); conservative: union of all loops
         b = LatLngRect.empty()
         for lp in self.loops:
@@ -797,7 +879,7 @@ class Polygon:
         return b
 
     def contains_cell(self, cell: Cell) -> bool:
-        if len(self.loops) == 1:
+        if len(self.loops) == 1 and not self.inverted:
             return self.loops[0].contains_cell(cell)
         # all cell vertices inside, no loop boundary crossing, polygon
         # does not sit inside the cell

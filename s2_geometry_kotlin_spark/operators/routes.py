@@ -543,5 +543,5 @@ crossed AS (
     THEN 1 ELSE 0 END AS c
   FROM redg r CROSS JOIN pedg p
 )
-SELECT route_id, polygon_id, SUM(c) AS n_crossings
+SELECT route_id, polygon_id, CAST(SUM(c) AS BIGINT) AS n_crossings
 FROM crossed GROUP BY 1, 2 HAVING SUM(c) > 0"""

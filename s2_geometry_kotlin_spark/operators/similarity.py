@@ -290,22 +290,35 @@ IVF_NPROBE = 2
 IVF_ITERS = 5
 
 
-_IVF_CENTROIDS: list | None = None
-IVF_TRAIN_PARQUET = "/root/testdata/sf0.01/embeddings.parquet"
+_IVF_CENTROIDS: dict[str, list] = {}
+
+# The driver's oracle harness calls oracle_sql() with no parameters and
+# registers its DuckDB views over this sf dir; override per-run with
+# S2_TEST_SF_DIR (the repo's contract test exports it) or pass sf_dir.
+IVF_ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _ivf_centroids() -> list[list[float]]:
+def _ivf_train_path(sf_dir: str | None = None) -> str:
+    import os
+    if sf_dir is None:
+        sf_dir = os.environ.get("S2_TEST_SF_DIR", IVF_ORACLE_SF_DIR)
+    return f"{sf_dir}/embeddings.parquet"
+
+
+def _ivf_centroids(train_parquet: str) -> list[list[float]]:
     """Deterministic driver-side k-means (seeded init = the first IVF_K
-    vectors by vec_id, IVF_ITERS Lloyd steps) over a FIXED training
-    sample, read without Spark and memoized: the centroid list is a
-    CONSTANT shared verbatim by the Spark plan and the DuckDB oracle —
-    at 10^12 rows the same centroids would come from a driver-side
-    sample, and assignment stays a per-row fold (no shuffle)."""
-    global _IVF_CENTROIDS
-    if _IVF_CENTROIDS is not None:
-        return _IVF_CENTROIDS
+    vectors by vec_id, IVF_ITERS Lloyd steps) over a deterministic
+    head-4096-by-vec_id sample of the dataset being searched, read
+    without Spark and memoized per path: the centroid list is a CONSTANT
+    (rounded to 6dp) shared verbatim by the Spark plan and the DuckDB
+    oracle — at 10^12 rows the same centroids would come from a
+    driver-side sample, and assignment stays a per-row fold (no
+    shuffle)."""
+    cached = _IVF_CENTROIDS.get(train_parquet)
+    if cached is not None:
+        return cached
     import pyarrow.parquet as pq
-    tbl = pq.read_table(IVF_TRAIN_PARQUET).to_pandas()
+    tbl = pq.read_table(train_parquet).to_pandas()
     tbl = tbl.sort_values("vec_id").head(4096)
     vecs = np.stack([np.asarray(v, dtype=np.float64)
                      for v in tbl["embedding"]])
@@ -317,8 +330,9 @@ def _ivf_centroids() -> list[list[float]]:
             sel = vecs[assign == c]
             if len(sel):
                 cents[c] = sel.mean(axis=0)
-    _IVF_CENTROIDS = [[float(x) for x in np.round(c, 6)] for c in cents]
-    return _IVF_CENTROIDS
+    out = [[float(x) for x in np.round(c, 6)] for c in cents]
+    _IVF_CENTROIDS[train_parquet] = out
+    return out
 
 
 def _ivf_assign_expr(cents: list[list[float]], vcol):
@@ -341,12 +355,36 @@ def _ivf_assign_expr(cents: list[list[float]], vcol):
                        init, merge)
 
 
+def ivf_assign_arrow(df: DataFrame, cents: list[list[float]],
+                     vcol: str = "v", out: str = "cid") -> DataFrame:
+    """Arrow argmin assignment kernel: one vectorized numpy matmul per
+    Arrow batch instead of the interpreted Catalyst fold.  Same
+    tie-break (lowest cid on equal d2, which np.argmin gives).  This is
+    the K=4096-scale path — the Catalyst `F.aggregate` fold in
+    `_ivf_assign_expr` is O(K*D) interpreted per row and only acceptable
+    at K=16 (see BENCH/BASELINE.md HOF-vs-Arrow note)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cents, dtype=np.float64)          # (K, D)
+    c_sq = (c * c).sum(axis=1)                       # (K,)
+
+    @pandas_udf("long")
+    def _assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())                   # (B, D)
+        # argmin_k |x-c|^2 = argmin_k (|c|^2 - 2 x.c); |x|^2 constant in k
+        d2 = c_sq[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(d2.argmin(axis=1).astype(np.int64))
+
+    return df.withColumn(out, _assign(F.col(vcol)))
+
+
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: vectors are bucketed by nearest coarse centroid; each
     query probes its IVF_NPROBE nearest centroid lists and takes the
     cosine top-k there — the inverted-file scale path (candidate
     generation = equi-join on centroid id)."""
-    cents = _ivf_centroids()
+    cents = _ivf_centroids(_ivf_train_path(sf_dir))
     vecs = _load(spark, sf_dir)
     assigned = vecs.withColumn("cid",
                                _ivf_assign_expr(cents, F.col("v")).cid)
@@ -390,8 +428,8 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("cosine", 6).alias("cosine_r")))
 
 
-def embed_ivf_topk_sql() -> str:
-    cents = _ivf_centroids()
+def embed_ivf_topk_sql(sf_dir: str | None = None) -> str:
+    cents = _ivf_centroids(_ivf_train_path(sf_dir))
     rows = ",".join(
         f"({i}, [" + ",".join(repr(x) for x in c) + "]::DOUBLE[])"
         for i, c in enumerate(cents))

@@ -86,20 +86,52 @@ def run_stream_to_memory(spark: SparkSession, events_dir: str,
 
 CELL_STATE_SCHEMA = ("cell_l8 long, n_events long, n_users long, "
                      "first_seen timestamp, last_seen timestamp")
-_STATE_SCHEMA = "n long, users array<long>, first timestamp, last timestamp"
+_STATE_SCHEMA = "n long, kmv array<long>, first timestamp, last timestamp"
+
+# KMV (k-minimum-values) distinct sketch: keep the K smallest distinct
+# 63-bit hashes of user ids.  Exact while <K distinct users have been
+# seen; beyond that, estimate = (K-1) * 2^63 / kth_smallest_hash.
+# Fixed-size state regardless of stream length (the r2 truncated-list
+# bug silently re-counted dropped users past 1000).
+KMV_K = 1024
+_H63 = 1 << 63
 
 
-def cell_session_state(df: DataFrame, level: int = 8) -> DataFrame:
+def _kmv_hashes(user_ids) -> "np.ndarray":
+    """splitmix64 finalizer over int64 user ids, masked to 63 bits so
+    the values order correctly as signed longs in the state store."""
+    import numpy as np
+    x = np.asarray(user_ids, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x >> np.uint64(1)).astype(np.int64)  # 63-bit, nonnegative
+
+
+def _kmv_estimate(hashes: list[int]) -> int:
+    if len(hashes) < KMV_K:
+        return len(hashes)
+    return int(round((KMV_K - 1) * _H63 / hashes[-1]))
+
+
+def cell_session_state(df: DataFrame, level: int = 8,
+                       idle_timeout_ms: int = 3_600_000) -> DataFrame:
     """Custom stateful per-cell tracker: running event count, distinct
-    users (bounded set), first/last event time — state kept per level-8
-    cell (NoTimeout: state lives for the stream; a production deploy
-    would add a processing-time timeout to expire idle tiles).  The
-    distributed analogue of an
+    users (KMV sketch — bounded state, exact below KMV_K=1024 distinct
+    users per cell, ±~3% estimate beyond), first/last event time.  State
+    is kept per level-8 cell with a PROCESSING-TIME TIMEOUT: a cell idle
+    for `idle_timeout_ms` has its state dropped from the store, so state
+    size on an unbounded stream is bounded by the active-tile working
+    set, not the lifetime tile count.  The distributed analogue of an
     in-memory per-tile accumulator; state lives in the state store, keyed
     by cell, and survives micro-batches.
 
     Batch inputs fall back to the equivalent groupBy aggregate (same
-    output schema) so stream==batch tests can compare results."""
+    output schema) so stream==batch tests can compare results (exact
+    while per-cell distinct users < KMV_K)."""
+    import numpy as np
     import pandas as pd
 
     tagged = geotag_events(df).withColumn(
@@ -116,36 +148,120 @@ def cell_session_state(df: DataFrame, level: int = 8) -> DataFrame:
                                              GroupStateTimeout)
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         n = 0
-        users: set[int] = set()
+        kmv: list[int] = []
         first = None
         last = None
         if state.exists:
-            n, users_l, first, last = state.get
-            users = set(users_l)
+            n, kmv, first, last = state.get
+            kmv = list(kmv)
+        new_hashes = []
         for pdf in pdfs:
             n += len(pdf)
-            users.update(int(u) for u in pdf["user_id"].tolist())
+            new_hashes.append(_kmv_hashes(pdf["user_id"].to_numpy()))
             lo = pdf["ts"].min()
             hi = pdf["ts"].max()
             first = lo if first is None else min(first, lo)
             last = hi if last is None else max(last, hi)
-        state.update((n, sorted(users)[:1000], first, last))
+        if new_hashes:
+            merged = np.unique(np.concatenate(
+                [np.asarray(kmv, dtype=np.int64)] + new_hashes))
+            kmv = merged[:KMV_K].tolist()
+        state.update((n, kmv, first, last))
+        state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame({"cell_l8": [key[0]], "n_events": [n],
-                            "n_users": [len(users)],
+                            "n_users": [_kmv_estimate(kmv)],
                             "first_seen": [first], "last_seen": [last]})
 
     return (tagged.groupBy("cell_l8")
             .applyInPandasWithState(
                 update, CELL_STATE_SCHEMA, _STATE_SCHEMA, "update",
-                GroupStateTimeout.NoTimeout))
+                GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def _drain_and_stop(q, idle_polls: int = 4, poll_s: float = 0.25,
+                    max_wait_s: float = 300.0) -> None:
+    """Stop a stateful query once its SOURCE is drained.  With
+    ProcessingTimeTimeout neither `processAllAvailable()` nor
+    Trigger.AvailableNow ever settles: the engine keeps running
+    micro-batches back-to-back to evaluate pending state timeouts, so
+    any wait-for-termination driver spins until the idle timeout
+    elapses (an hour, by default, at the production setting), and
+    `q.status` never reads idle either.  The reliable drain signal is
+    progress-based: a COMPLETED batch with numInputRows == 0 after at
+    least one data batch means the file source listed no new files —
+    every input file is committed and the remaining activity is
+    timeout bookkeeping, which a bounded run doesn't need to wait
+    for.  (Timed-out keys are evaluated inside whatever batch runs
+    after their deadline, so checkpoint-resumed runs still observe
+    expirations during their data batches.)"""
+    import time
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        if time.monotonic() > deadline:
+            q.stop()
+            raise TimeoutError("stream did not drain within "
+                               f"{max_wait_s}s: {q.status}")
+        time.sleep(poll_s)
+        if not q.isActive:
+            q.awaitTermination()  # surface the query's exception
+            return
+        # recentProgress accumulates THIS run's completed batches, so a
+        # data batch can't slip between polls.  A completed zero-input
+        # batch AFTER a data batch means the file source listed no new
+        # files: drained.  A checkpoint-resumed run may REPLAY the
+        # prior run's uncommitted (empty, timeout-only) batch first, so
+        # an empty batch alone is not drain evidence — without any data
+        # batch we only give up after many empty batches (the
+        # caller-ran-with-no-new-files case).
+        progs = q.recentProgress
+        if not progs:
+            continue
+        saw_data = any(p["numInputRows"] > 0 for p in progs)
+        if saw_data and progs[-1]["numInputRows"] == 0:
+            break
+        if not saw_data and len(progs) >= 8 * idle_polls:
+            break
+    q.stop()
 
 
 def run_stateful_stream_to_memory(spark: SparkSession, events_dir: str,
-                                  table: str = "stream_state") -> None:
+                                  table: str = "stream_state",
+                                  idle_timeout_ms: int = 3_600_000,
+                                  checkpoint_dir: str | None = None) -> None:
+    """One bounded pass: processes every pending file (one micro-batch
+    each), then stops via the drain-poll driver above.  Pass a
+    checkpoint_dir to resume the state store across calls
+    (processing-time timeouts fire on the first batch of the next run
+    once the idle window has elapsed)."""
     src = stream_events_from_dir(spark, events_dir)
-    out = cell_session_state(src)
-    q = (out.writeStream.format("memory").queryName(table)
-         .outputMode("update").start())
-    q.processAllAvailable()
-    q.stop()
+    out = cell_session_state(src, idle_timeout_ms=idle_timeout_ms)
+    if checkpoint_dir is None:
+        q = (out.writeStream.format("memory").queryName(table)
+             .outputMode("update").start())
+        _drain_and_stop(q)
+        return
+    # the memory sink refuses checkpoint recovery, so the resumable
+    # variant collects per-batch updates via foreachBatch (which
+    # supports any sink semantics) and registers the union as a temp
+    # view under the same name
+    import pandas as pd
+    batches: list = []
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            batches.append(pdf)
+
+    q = (out.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", checkpoint_dir).start())
+    _drain_and_stop(q)
+    if batches:
+        df = spark.createDataFrame(pd.concat(batches, ignore_index=True),
+                                   schema=CELL_STATE_SCHEMA)
+    else:
+        df = spark.createDataFrame([], schema=CELL_STATE_SCHEMA)
+    df.createOrReplaceTempView(table)

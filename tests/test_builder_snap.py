@@ -1,0 +1,147 @@
+"""B1 snap-rounding: fixture parity with the reference's
+S2CellIdSnapFunction semantics (builder/S2Builder.kt + builder/snap/)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from s2_geometry_kotlin_spark.kernel import builder_snap as bs
+from s2_geometry_kotlin_spark.kernel import cellid as ck
+from s2_geometry_kotlin_spark.kernel.regions import Loop, Polygon
+
+
+def _latlng_ring(pts):
+    lat = np.array([p[0] for p in pts], dtype=np.float64)
+    lon = np.array([p[1] for p in pts], dtype=np.float64)
+    x, y, z = ck.latlng_deg_to_xyz(lat, lon)
+    return np.stack([x, y, z], axis=1)
+
+
+def _cell_centers(vertices, level):
+    ids = ck.parent(ck.from_xyz(vertices[:, 0], vertices[:, 1],
+                                vertices[:, 2]), level)
+    x, y, z = ck.to_xyz(ids)
+    return np.stack([x, y, z], axis=1)
+
+
+# a ~20km square around Paris; vertices are far apart relative to the
+# level-16 snap radius (~150m), so each vertex keeps its own site
+CLEAN = [(48.76, 2.20), (48.76, 2.50), (48.95, 2.50), (48.95, 2.20)]
+
+
+def test_noisy_loop_snaps_to_cell_centers_level16():
+    """VERDICT r2 item 3's done-criterion: a noisy loop (duplicate
+    vertices + jitter below the snap radius) snapped at level 16
+    reproduces the S2CellIdSnapFunction output — the clean vertices'
+    level-16 cell centers, bit-for-bit."""
+    from s2_geometry_kotlin_spark.kernel import metrics
+    snap = bs.CellIdSnap(16)
+    want = _cell_centers(_latlng_ring(CLEAN), 16)
+    lat_c, lon_c = ck.xyz_to_latlng_deg(want[:, 0], want[:, 1],
+                                        want[:, 2])
+    # jitter strictly inside each vertex's level-16 cell (20% of the
+    # half-width), plus exact duplicates — all copies share the site
+    jit = math.degrees(0.2 * 0.5 * metrics.MIN_WIDTH.get_value(16))
+    noisy_pts = []
+    for k in range(len(CLEAN)):
+        noisy_pts.append((lat_c[k], lon_c[k]))
+        noisy_pts.append((lat_c[k], lon_c[k]))  # exact duplicate vertex
+        noisy_pts.append((lat_c[k] + (jit if k % 2 else -jit),
+                          lon_c[k]))
+    noisy = _latlng_ring(noisy_pts)
+
+    snapped = bs.snap_loops([noisy], snap)
+    assert len(snapped) == 1
+    got = snapped[0]
+    # same site set, bit-identical coordinates, same cyclic order
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    i0 = next(i for i, v in enumerate(got) if tuple(v) == tuple(want[0]))
+    assert np.array_equal(np.roll(got, -i0, axis=0), want)
+
+
+def test_jitter_under_separation_merges_to_one_site():
+    """Vertices closer than min_vertex_separation share a site (the
+    snap-first merge rule, S2Builder.kt:1067-1076)."""
+    snap = bs.CellIdSnap(12)
+    base = _latlng_ring([(10.0, 10.0)])
+    eps = math.degrees(snap.min_vertex_separation()) * 0.3
+    near = _latlng_ring([(10.0 + eps, 10.0)])
+    sites = bs.choose_sites(np.concatenate([base, near]), snap)
+    assert len(sites) == 1
+
+
+def test_spike_discarded():
+    """A degenerate spike (out-and-back edge pair) vanishes: the
+    DegenerateEdges.DISCARD behavior of polygon layers."""
+    spike_tip = (48.855, 2.6)  # off the ring, out-and-back via CLEAN[1]
+    pts = [CLEAN[0], CLEAN[1], spike_tip, CLEAN[1], CLEAN[2], CLEAN[3]]
+    snapped = bs.snap_loops([_latlng_ring(pts)], bs.CellIdSnap(16))
+    assert len(snapped) == 1
+    want = _cell_centers(_latlng_ring(CLEAN), 16)
+    assert sorted(map(tuple, snapped[0])) == sorted(map(tuple, want))
+
+
+def test_collapsed_loop_dropped():
+    """A loop smaller than the snap cell collapses to nothing."""
+    tiny = [(20.0, 20.0), (20.0, 20.0000001), (20.0000001, 20.0000001)]
+    snapped = bs.snap_loops([_latlng_ring(tiny)], bs.CellIdSnap(10))
+    assert snapped == []
+
+
+def test_idempotent():
+    """Snapping an already-snapped loop is the identity
+    (S2Builder's snapping_needed short-circuit semantics)."""
+    snap = bs.CellIdSnap(16)
+    once = bs.snap_loops([_latlng_ring(CLEAN)], snap)
+    twice = bs.snap_loops(once, snap)
+    assert len(once) == len(twice) == 1
+    assert np.array_equal(once[0], twice[0])
+
+
+def test_int_latlng_snap_grid():
+    """IntLatLngSnapFunction: coordinates land exactly on the
+    10^-exponent degree grid."""
+    snap = bs.IntLatLngSnap(2)
+    noisy = _latlng_ring([(48.7612, 2.2049), (48.7649, 2.5051),
+                          (48.9551, 2.5049), (48.9549, 2.2051)])
+    snapped = bs.snap_loops([noisy], snap)
+    assert len(snapped) == 1
+    lat, lon = ck.xyz_to_latlng_deg(snapped[0][:, 0], snapped[0][:, 1],
+                                    snapped[0][:, 2])
+    assert np.allclose(lat * 100, np.round(lat * 100), atol=1e-9)
+    assert np.allclose(lon * 100, np.round(lon * 100), atol=1e-9)
+    want = _latlng_ring([(48.76, 2.20), (48.76, 2.51),
+                         (48.96, 2.50), (48.95, 2.21)])
+    assert np.allclose(snapped[0], want, atol=1e-12)
+
+
+def test_snap_polygon_preserves_interior_point():
+    """Containment of a point far from the boundary (relative to
+    max_edge_deviation) survives snapping."""
+    snap = bs.CellIdSnap(14)
+    poly = Polygon([Loop(_latlng_ring(CLEAN))])
+    center = _latlng_ring([(48.855, 2.35)])[0]
+    outside = _latlng_ring([(49.5, 2.35)])[0]
+    snapped = bs.snap_polygon(poly, snap)
+    assert snapped.contains_point(center)
+    assert not snapped.contains_point(outside)
+
+
+def test_shared_jittered_boundary_merges_for_boolean_prep():
+    """Layer-prep motivation: two polygons digitized against the same
+    border with sub-snap-radius jitter snap to IDENTICAL vertices along
+    the shared stretch, so downstream exact algorithms see one
+    boundary, not two nearly-coincident ones."""
+    snap = bs.CellIdSnap(14)
+    jitter = math.degrees(snap.snap_radius) * 0.1
+    shared = [(47.0, 5.0), (47.5, 5.0), (48.0, 5.0)]
+    west = [(47.0, 4.0), *shared[::-1]]
+    east = [(47.0, 6.0), *[(la + jitter, lo) for la, lo in shared]]
+    got = bs.snap_loops([_latlng_ring(west)], snap)[0]
+    got2 = bs.snap_loops([_latlng_ring(east)], snap)[0]
+    east_set = set(map(tuple, got2))
+    shared_sites = set(map(tuple,
+                           _cell_centers(_latlng_ring(shared), 14)))
+    assert shared_sites <= set(map(tuple, got))
+    assert shared_sites <= east_set

@@ -11,6 +11,9 @@ import __spark_entry__ as entrymod
 
 import os
 SF_DIR = os.environ.get("S2_TEST_SF_DIR", "/root/testdata/sf0.001")
+# oracles whose SQL embeds data-derived constants (IVF centroids) read
+# this env var to train on the same sf the queries run against
+os.environ["S2_TEST_SF_DIR"] = SF_DIR
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -55,6 +58,16 @@ def test_query_matches_oracle(name, spark, duck):
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     for col in got.columns:
         g, e = got[col], exp[col]
+        # The driver hashes rendered values, so an int column on one side
+        # and a float column on the other ("1" vs "1.0") is a mismatch even
+        # when values are numerically equal.  Mirror that: numeric kinds
+        # must agree (int-family with int-family, float with float).
+        numeric = set("iuf")
+        if g.dtype.kind in numeric and e.dtype.kind in numeric:
+            gk = "i" if g.dtype.kind in "iu" else "f"
+            ek = "i" if e.dtype.kind in "iu" else "f"
+            assert gk == ek, \
+                f"{name}.{col} dtype-kind mismatch: {g.dtype} vs {e.dtype}"
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             assert np.allclose(g.astype(float), e.astype(float),
                                rtol=0, atol=0, equal_nan=True), \

@@ -63,3 +63,97 @@ def test_stateful_stream_matches_batch(spark, tmp_path_factory):
     assert got == expect
     assert len(got) > 0
     shutil.rmtree(events_dir, ignore_errors=True)
+
+
+def _write_events(path, user_ids, ts_iso):
+    """Write a single-micro-batch events parquet atomically."""
+    import os
+
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(user_ids)), dtype="int64"),
+        "ts": pd.to_datetime([ts_iso] * len(user_ids)),
+        "user_id": pd.array(user_ids, dtype="int64"),
+        "event_type": ["click"] * len(user_ids),
+        "value": [1.0] * len(user_ids),
+        "props": ["{}"] * len(user_ids),
+    })
+    tmp = path + ".tmp"
+    # microsecond timestamps: Spark's parquet reader rejects pandas'
+    # default INT64 nanos against a TimestampType stream schema
+    df.to_parquet(tmp, coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    os.rename(tmp, path)
+
+
+def test_kmv_sketch_exact_below_k_and_close_above():
+    import numpy as np
+
+    from s2_geometry_kotlin_spark import streaming as st
+
+    # exact below K
+    small = st._kmv_hashes(np.arange(500, dtype=np.int64))
+    assert st._kmv_estimate(sorted(set(small.tolist()))) == 500
+    # ±10% above K (100k distinct, duplicates mixed in)
+    ids = np.concatenate([np.arange(100_000, dtype=np.int64)] * 3)
+    h = np.unique(st._kmv_hashes(ids))
+    kmv = np.sort(h)[: st.KMV_K].tolist()
+    est = st._kmv_estimate(kmv)
+    assert abs(est - 100_000) / 100_000 < 0.10, est
+
+
+def test_stateful_state_expires_after_timeout(spark, tmp_path_factory):
+    """ProcessingTimeTimeout drops idle per-cell state: after the idle
+    window, a cell's counters restart instead of accumulating."""
+    import time
+
+    from s2_geometry_kotlin_spark import streaming as st
+
+    events_dir = str(tmp_path_factory.mktemp("events_expiry"))
+    users_a = [1, 2, 3]
+    users_b = [55_000_001, 55_000_002]
+
+    # preflight: the two user sets must land in disjoint level-8 cells,
+    # else batch B would refresh A's state and mask the timeout
+    def cells_of(users):
+        df = spark.createDataFrame([(int(u),) for u in users],
+                                   "user_id long")
+        tagged = st.geotag_events(df)
+        from s2_geometry_kotlin_spark import functions as s2f
+        from pyspark.sql import functions as F
+        return {r[0] for r in tagged.select(
+            s2f.cell_parent(F.col("cell_id"), 8)).collect()}
+
+    cells_a, cells_b = cells_of(users_a), cells_of(users_b)
+    assert not (cells_a & cells_b)
+
+    ckpt = str(tmp_path_factory.mktemp("expiry_ckpt"))
+
+    def run_once(table):
+        st.run_stateful_stream_to_memory(spark, events_dir, table=table,
+                                         idle_timeout_ms=800,
+                                         checkpoint_dir=ckpt)
+
+    _write_events(f"{events_dir}/a.parquet", users_a, "2024-01-01")
+    run_once("expiry_run1")
+    time.sleep(1.6)  # exceed the 800ms idle timeout
+    # run 2 carries only B-cells; A-cells are idle+expired, so its batch
+    # fires their timed-out invocation -> state removed
+    _write_events(f"{events_dir}/b.parquet", users_b, "2024-01-02")
+    run_once("expiry_run2")
+    _write_events(f"{events_dir}/c.parquet", users_a, "2024-01-03")
+    run_once("expiry_run3")
+
+    rows = spark.table("expiry_run3").collect()
+    latest = {r["cell_l8"]: r for r in rows if r["cell_l8"] in cells_a}
+    assert set(latest) == cells_a
+    import datetime
+    for r in latest.values():
+        assert r["first_seen"].date() == datetime.date(2024, 1, 3), \
+            "state survived the idle timeout (first_seen not reset)"
+    # n_events restarted: equals batch-C-only counts, not 2x
+    batch_c = st.cell_session_state(
+        spark.read.parquet(f"{events_dir}/c.parquet"))
+    for r in batch_c.collect():
+        assert latest[r["cell_l8"]]["n_events"] == r["n_events"]
