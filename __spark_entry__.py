@@ -265,6 +265,20 @@ def _bool_oracle_sql(op: str) -> str:
             + boolean_oracle_select(op))
 
 
+def _snapped_oracle_sql() -> str:
+    """B1 oracle: PIP replay over the snap-rounded layer's vertex
+    constants (shared with the Spark side, like every layer oracle)."""
+    from s2_geometry_kotlin_spark.functions.sqlgen import (pip_join_ctes,
+                                                           xyz_sql)
+    from s2_geometry_kotlin_spark.operators.snapping import snapped_layer
+    return ("WITH " + P.pages_cte_duckdb() + ",\n"
+            f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+            f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+            + pip_join_ctes(snapped_layer()) + "\n"
+            + "SELECT url, CAST(polygon_id AS BIGINT) AS polygon_id "
+              "FROM pipjoin")
+
+
 def q_pages_in_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3 INTERSECTION: pages inside constructed A∩B per fixture pair."""
     from s2_geometry_kotlin_spark.operators.booleans import pages_in_boolean
@@ -511,6 +525,64 @@ def q_cell_union_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("__w").alias("n_leaves")))
 
 
+ROUTE_SIMPLIFY_TOL_RAD = 20000.0 / 6371010.0  # 20 km tolerance
+
+_ROUTES_SIMPLIFIED = None
+
+
+def _routes_simplified():
+    """B4: dense dirty routes through the tolerance-true simplifier
+    (kernel/polyline_simplifier.py) — each fixture route densified to
+    16 points per edge with a deterministic sub-tolerance perpendicular
+    wiggle (the GPS-trace shape real route tables arrive in), then
+    simplified.  The result is a constant shared by the Spark plan and
+    the oracle, like _routes()."""
+    global _ROUTES_SIMPLIFIED
+    if _ROUTES_SIMPLIFIED is None:
+        import numpy as np
+        from s2_geometry_kotlin_spark.kernel.edges import interpolate
+        from s2_geometry_kotlin_spark.kernel.polyline import Polyline
+        out = []
+        for rid, line in _routes():
+            v = line.vertices
+            dense = []
+            for i in range(len(v) - 1):
+                a = np.broadcast_to(v[i], (16, 3))
+                b = np.broadcast_to(v[i + 1], (16, 3))
+                pts = interpolate(a, b, np.arange(16) / 16.0)
+                # perpendicular wiggle, alternating sign, 30% of tol
+                nrm = np.cross(v[i], v[i + 1])
+                nrm = nrm / np.linalg.norm(nrm)
+                amp = 0.3 * ROUTE_SIMPLIFY_TOL_RAD
+                sgn = np.where(np.arange(16) % 2 == 0, 1.0, -1.0)
+                pts = pts + (sgn * amp)[:, None] * nrm
+                pts /= np.linalg.norm(pts, axis=1)[:, None]
+                dense.extend(pts)
+            dense.append(v[-1])
+            out.append((rid, Polyline(np.asarray(dense))
+                        .simplify(ROUTE_SIMPLIFY_TOL_RAD)))
+        _ROUTES_SIMPLIFIED = out
+    return _ROUTES_SIMPLIFIED
+
+
+def q_route_project_simplified(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """B4+D2: map-matching against simplified routes — the
+    route-dataset prep path at scale (simplify before edge-table
+    build), oracle-checked like route_project."""
+    from s2_geometry_kotlin_spark.operators.routes import route_project
+    return route_project(_geo_pages(spark, sf_dir), spark,
+                         _routes_simplified(), ROUTE_RADIUS_RAD)
+
+
+def q_pages_in_snapped_layer(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """B1: noisy layer -> snap rounding -> spatial join."""
+    from s2_geometry_kotlin_spark.operators.snapping import \
+        pages_in_snapped
+    return pages_in_snapped(_geo_pages(spark, sf_dir), spark)
+
+
 def q_polygon_loop_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2/M3 oracle: per-loop spherical areas of the fixture layer via
     the measures kernel; DuckDB recomputes them with the independent
@@ -536,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bearing_to_paris": q_bearing_to_paris,
         "cell_union_leaves": q_cell_union_leaves,
         "polygon_loop_areas": q_polygon_loop_areas,
+        "route_project_simplified": q_route_project_simplified,
+        "pages_in_snapped_layer": q_pages_in_snapped_layer,
         "token_stats": ts.q_token_stats,
         "bpe_token_stats": ts.q_bpe_token_stats,
         "quality": ts.q_quality,
@@ -654,6 +728,9 @@ def oracle_sql() -> dict[str, str]:
         "polygon_loop_areas": __import__(
             "s2_geometry_kotlin_spark.operators.measures_query",
             fromlist=["polygon_loop_areas_sql"]).polygon_loop_areas_sql(),
+        "route_project_simplified": _pxyz_with(
+            route_project_sql(_routes_simplified(), ROUTE_RADIUS_RAD)),
+        "pages_in_snapped_layer": _snapped_oracle_sql(),
         "token_stats": ts.token_stats_sql(),
         "bpe_token_stats": ts.bpe_token_stats_sql(),
         "quality": ts.quality_sql(),
