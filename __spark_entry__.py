@@ -618,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "dedup_components": __import__(
+            "s2_geometry_kotlin_spark.operators.components",
+            fromlist=["q_dedup_components"]).q_dedup_components,
         "simhash": dedup.q_simhash,
         "simhash_neardup_pairs": dedup.q_simhash_neardup_pairs,
         "embed_neardup_pairs": similarity.q_embed_neardup_pairs,
@@ -739,6 +742,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.dedup_exact_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_sql(),
+        "dedup_components": __import__(
+            "s2_geometry_kotlin_spark.operators.components",
+            fromlist=["dedup_components_sql"]).dedup_components_sql(),
         "simhash": dedup.simhash_sql(),
         "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
         "embed_neardup_pairs": similarity.embed_neardup_sql(),

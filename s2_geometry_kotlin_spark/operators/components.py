@@ -1,0 +1,101 @@
+"""Dedup cluster assignment: connected components over near-duplicate
+pairs.
+
+The last step of every web-scale dedup pipeline: MinHash-LSH emits
+verified near-duplicate PAIRS; keeping one representative per duplicate
+CLUSTER requires the transitive closure — connected components with
+component id = min doc id, so the kept document is the cluster's
+smallest id (deterministic, join-free to apply).
+
+Implementation is min-label propagation as a pure DataFrame loop: each
+round every node takes the minimum label among itself and its
+neighbors, via a shuffle-on-node-id aggregate; `localCheckpoint`
+truncates the lineage each round so the plan doesn't grow (the
+iterative-loop pattern used by the kNN escalation in operators/
+edges.py).  Rounds needed = graph diameter; near-duplicate clusters are
+near-cliques (diameter 2-3), so this converges in a handful of rounds
+at any scale.  For adversarial long-chain graphs the same loop body
+extends to the large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) which bounds
+rounds by O(log^2 n); dedup inputs don't need it and it doubles the
+shuffles per round.
+
+Convergence is checked with a count of changed labels per round — an
+O(1)-row action, not a collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 25
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a",
+                         b: str = "doc_b",
+                         max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`;
+    component = min node id reachable through the pair graph."""
+    edges = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+             .union(pairs.select(F.col(b).alias("u"),
+                                 F.col(a).alias("v")))
+             .distinct()
+             .localCheckpoint())
+    comp = (edges.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node")))
+    for _ in range(max_rounds):
+        # neighbor minimum, one shuffle keyed by the receiving node
+        msgs = (edges.join(comp, edges.u == comp.node)
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("comp").alias("nbr_min")))
+        nxt = (comp.join(msgs, "node", "left")
+               .select("node",
+                       F.least("comp", F.coalesce("nbr_min", "comp"))
+                       .alias("comp"))
+               .localCheckpoint())
+        changed = (nxt.alias("n")
+                   .join(comp.alias("c"), "node")
+                   .where(F.col("n.comp") != F.col("c.comp"))
+                   .count())
+        comp = nxt
+        if changed == 0:
+            break
+    return comp.select("node", "comp")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id) over the verified MinHash-LSH pairs —
+    the cluster table a keep-one-per-cluster filter joins against."""
+    from .dedup import q_minhash_lsh_pairs
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component_id"))
+
+
+def dedup_components_sql() -> str:
+    """DuckDB oracle: transitive closure by recursive CTE over the SAME
+    pair set (the minhash oracle SQL), component = min reachable id —
+    an independent algorithm for the same definition."""
+    from .dedup import minhash_lsh_sql
+    inner = minhash_lsh_sql()
+    return f"""WITH RECURSIVE pairs AS (
+{inner}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT n.u AS doc_id,
+       CAST(LEAST(n.u, MIN(r.v)) AS BIGINT) AS component_id
+FROM (SELECT DISTINCT u FROM edges) n
+LEFT JOIN reach r ON r.u = n.u
+GROUP BY 1"""

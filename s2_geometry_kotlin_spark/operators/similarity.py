@@ -13,6 +13,7 @@ aggregate over array<double>) — JVM codegen, no Python.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -363,7 +364,6 @@ def ivf_assign_arrow(df: DataFrame, cents: list[list[float]],
     the K=4096-scale path — the Catalyst `F.aggregate` fold in
     `_ivf_assign_expr` is O(K*D) interpreted per row and only acceptable
     at K=16 (see BENCH/BASELINE.md HOF-vs-Arrow note)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(cents, dtype=np.float64)          # (K, D)

@@ -1,0 +1,63 @@
+"""Connected-components dedup clustering: DataFrame loop vs known
+graphs and the recursive-SQL oracle shape."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from s2_geometry_kotlin_spark.session import get_spark
+    s = get_spark("components-tests", cpus=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _run(spark, pairs):
+    from s2_geometry_kotlin_spark.operators.components import \
+        connected_components
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return {r["node"]: r["comp"]
+            for r in connected_components(df).collect()}
+
+
+def test_chain_clique_and_pair(spark):
+    # chain 1-2-3-4, clique {10,11,12}, pair {20,21}
+    pairs = [(1, 2), (2, 3), (3, 4),
+             (10, 11), (10, 12), (11, 12),
+             (20, 21)]
+    got = _run(spark, pairs)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_long_chain_converges(spark):
+    # worst-case diameter for min-label propagation, labels flow from
+    # the low end; still bounded by MAX_ROUNDS
+    n = 12
+    pairs = [(i, i + 1) for i in range(n)]
+    got = _run(spark, pairs)
+    assert set(got.values()) == {0}
+
+
+def test_oracle_sql_matches_on_synthetic_pairs():
+    """The recursive-CTE closure agrees with the loop's semantics on a
+    hand-built graph (checked in DuckDB without Spark)."""
+    import duckdb
+    sql = """WITH RECURSIVE pairs AS (
+  SELECT * FROM (VALUES (1, 2), (2, 3), (10, 11)) t(doc_a, doc_b)
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT n.u AS doc_id, CAST(LEAST(n.u, MIN(r.v)) AS BIGINT) AS c
+FROM (SELECT DISTINCT u FROM edges) n
+LEFT JOIN reach r ON r.u = n.u GROUP BY 1 ORDER BY 1"""
+    got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
