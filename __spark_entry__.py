@@ -185,6 +185,15 @@ def q_spatial_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                         strategy="salted")
 
 
+def q_spatial_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join via the S2CellIndex rangeNodes stabbing path: one Arrow
+    binary search per page against the swept covering segments, no
+    probe-side explode, unclamped coverings."""
+    from s2_geometry_kotlin_spark.operators.spatial_join import spatial_join
+    return spatial_join(_geo_pages(spark, sf_dir), spark, _layer(),
+                        strategy="range")
+
+
 def q_spatial_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same join with the pure-JVM crossing-parity verify (zero Python
     workers end-to-end; triage-only signs, identical to the oracle)."""
@@ -633,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_center_tile": q_cell_center_tile,
         "spatial_join": q_spatial_join,
         "spatial_join_salted": q_spatial_join_salted,
+        "spatial_join_range": q_spatial_join_range,
         "spatial_join_sql": q_spatial_join_sql,
         "polygon_page_counts": q_polygon_page_counts,
         "pages_in_intersection": q_pages_in_intersection,
@@ -758,6 +768,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join": _pip_oracle_sql(
             "SELECT url, layer, polygon_id FROM pipjoin"),
         "spatial_join_salted": _pip_oracle_sql(
+            "SELECT url, layer, polygon_id FROM pipjoin"),
+        "spatial_join_range": _pip_oracle_sql(
             "SELECT url, layer, polygon_id FROM pipjoin"),
         "spatial_join_sql": _pip_oracle_sql(
             "SELECT url, layer, polygon_id FROM pipjoin"),

@@ -94,6 +94,10 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     timed("spatial_join_sqlverify", lambda: force(
         spatial_join(geo, spark, layer, strategy="broadcast",
                      verify="sql")))
+    # q3c: range-index stabbing join (no probe explode, unclamped
+    # coverings — the S2CellIndex path)
+    timed("spatial_join_range", lambda: force(
+        spatial_join(geo, spark, layer, strategy="range")))
     # q4: salted shuffle spatial join (skew plan)
     timed("spatial_join_salted", lambda: force(
         spatial_join(geo, spark, layer, strategy="salted")))
@@ -133,6 +137,15 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     timed("ivf_assign_arrow", lambda: force(
         sim.ivf_assign_arrow(emb, cents)))
     emb.unpersist()
+    # q9: webtext dedup path at this sf (single rep; deterministic):
+    # MinHash-LSH candidate+verify, then cluster assignment
+    from s2_geometry_kotlin_spark.operators.components import \
+        q_dedup_components
+    from s2_geometry_kotlin_spark.operators.dedup import q_minhash_lsh_pairs
+    timed("minhash_lsh_pairs", lambda: force(
+        q_minhash_lsh_pairs(spark, sf_dir)), n_reps=1)
+    timed("dedup_components", lambda: force(
+        q_dedup_components(spark, sf_dir)), n_reps=1)
     return timings, n_pages
 
 
@@ -146,7 +159,7 @@ def main() -> None:
     # ivf pair is a kernel A/B, not a headline query)
     diag = {"synthesize_table", "geocode_stage_scan",
             "geocode_stage_geoparse", "ivf_assign_hof",
-            "ivf_assign_arrow"}
+            "ivf_assign_arrow", "minhash_lsh_pairs", "dedup_components"}
     total = round(sum(v for k, v in timings.items() if k not in diag), 3)
     join_secs = timings.get("spatial_join", 1.0)
     geocode_secs = timings.get("geocode", 1.0)

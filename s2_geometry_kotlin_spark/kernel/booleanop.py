@@ -159,6 +159,40 @@ _RULES = {
 }
 
 
+def clip_polyline(line_vertices: np.ndarray, poly: Polygon,
+                  keep_inside: bool = True) -> list[np.ndarray]:
+    """Polyline operand support (S2BooleanOperation accepts polyline
+    layers; dimension-1 semantics of S2BooleanOperation.kt: a polyline
+    INTERSECTION keeps the portions inside the polygon, a DIFFERENCE
+    the portions outside).  Splits each polyline edge at its proper
+    crossings with the polygon boundary and keeps each piece by its
+    midpoint verdict — returns the kept sub-polylines in order, merged
+    across consecutive kept pieces."""
+    lb = oriented_boundary_loops(poly)
+    pedges = [(lv[i], lv[(i + 1) % len(lv)])
+              for lv in lb for i in range(len(lv))]
+    pieces: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(line_vertices) - 1):
+        a0, a1 = line_vertices[i], line_vertices[i + 1]
+        xs = [ek.edge_intersection(a0, a1, b0, b1)
+              for b0, b1 in pedges
+              if pred.crossing_sign(a0, a1, b0, b1) > 0]
+        chain = [a0] + sorted(xs, key=lambda p: _edge_param(a0, p)) + [a1]
+        for k in range(len(chain) - 1):
+            v0, v1 = chain[k], chain[k + 1]
+            if poly.contains_point(_midpoint(v0, v1)) == keep_inside:
+                if not cur:
+                    cur = [v0]
+                cur.append(v1)
+            elif cur:
+                pieces.append(np.asarray(cur))
+                cur = []
+    if cur:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
 def polygon_boolean(a: Polygon, b: Polygon, op: str) -> Polygon:
     """A op B as a new Polygon (op: intersection | union | difference |
     symmetric_difference).  Semantics of

@@ -26,13 +26,9 @@ def operand_pairs() -> list[tuple[Polygon, Polygon]]:
     regimes: proper boundary crossings (Paris/London lens), hole +
     no-crossing nesting (donut vs metro), and disjoint."""
     from ..sources.layers import fixture_layer
-    by_id = {}
-    for layer, pid, poly in fixture_layer():
-        by_id[(layer, pid)] = poly
-    layer = fixture_layer()
     # index by (layer name, order of appearance)
     named: dict[str, list[Polygon]] = {}
-    for lname, _, poly in layer:
+    for lname, _, poly in fixture_layer():
         named.setdefault(lname, []).append(poly)
     paris_core = named["city_core"][0]       # CITIES[0] = Paris
     paris_metro = named["city_metro"][0]

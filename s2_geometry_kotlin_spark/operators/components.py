@@ -50,17 +50,18 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
         msgs = (edges.join(comp, edges.u == comp.node)
                 .groupBy(F.col("v").alias("node"))
                 .agg(F.min("comp").alias("nbr_min")))
+        # the convergence flag rides along in the same pass — no extra
+        # old-vs-new join; the count is an O(1)-row action over the
+        # checkpointed result
         nxt = (comp.join(msgs, "node", "left")
                .select("node",
                        F.least("comp", F.coalesce("nbr_min", "comp"))
-                       .alias("comp"))
+                       .alias("new_comp"),
+                       (F.coalesce("nbr_min", "comp") < F.col("comp"))
+                       .alias("changed"))
                .localCheckpoint())
-        changed = (nxt.alias("n")
-                   .join(comp.alias("c"), "node")
-                   .where(F.col("n.comp") != F.col("c.comp"))
-                   .count())
-        comp = nxt
-        if changed == 0:
+        comp = nxt.select("node", F.col("new_comp").alias("comp"))
+        if nxt.where("changed").limit(1).count() == 0:
             break
     return comp.select("node", "comp")
 

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import ArrayType, BooleanType, IntegerType
 
 from ..kernel import cellid as ck
 from ..kernel import pip
@@ -216,6 +216,75 @@ def within_distance_join(pages: DataFrame, spark: SparkSession,
             .select("url", "layer", "polygon_id"))
 
 
+def build_range_index(polygons: list[tuple[str, int, Polygon]],
+                      max_cells: int = 32):
+    """S2CellIndex in range form (index/cell/S2CellIndex.kt — build()
+    :150 creates sorted rangeNodes :112 from boundary deltas;
+    visitIntersectingCells :234 is the stabbing query): the coverings'
+    [range_min, range_max] leaf intervals are swept into disjoint
+    SEGMENTS, each carrying the set of covering rows active over it.  A
+    page is then located with ONE binary search instead of one
+    probe-row per covering level — no probe-side explode at all, so
+    this path can use the UNCLAMPED covering (every level, tighter
+    boundary, more interior fast-accepts).
+
+    Returns (starts_u64, offsets, refs, meta_rows): segment start keys
+    (uint64, ascending, sentinel 0), flattened active-row ref lists,
+    and per-ref (ref, layer, polygon_id, is_interior) metadata."""
+    rows = build_covering_rows(polygons, max_cells, min_level=0,
+                               max_level=30, level_mod=1)
+
+    def _u(v: int) -> int:
+        return v + (1 << 64) if v < 0 else v
+
+    events: list[tuple[int, int, int]] = []
+    for idx, (_, _, _, _, rmin, rmax, _) in enumerate(rows):
+        events.append((_u(rmin), 0, idx))      # interval opens
+        events.append((_u(rmax) + 1, 1, idx))  # closes after rmax
+    events.sort()
+    starts = [0]
+    seg_refs: list[list[int]] = [[]]
+    active: set[int] = set()
+    i = 0
+    n = len(events)
+    while i < n:
+        pos = events[i][0]
+        while i < n and events[i][0] == pos:
+            _, kind, idx = events[i]
+            (active.discard if kind else active.add)(idx)
+            i += 1
+        if pos == starts[-1]:
+            seg_refs[-1] = sorted(active)
+        else:
+            starts.append(pos)
+            seg_refs.append(sorted(active))
+    offsets = np.zeros(len(seg_refs) + 1, dtype=np.int64)
+    for k, refs in enumerate(seg_refs):
+        offsets[k + 1] = offsets[k] + len(refs)
+    flat = np.array([r for refs in seg_refs for r in refs],
+                    dtype=np.int32)
+    meta = [(idx, layer, pid, bool(interior))
+            for idx, (layer, pid, _, _, _, _, interior)
+            in enumerate(rows)]
+    return (np.array(starts, dtype=np.uint64), offsets, flat, meta)
+
+
+def make_stab_udf(starts: np.ndarray, offsets: np.ndarray,
+                  refs: np.ndarray):
+    """Arrow-batched stabbing query: leaf cell id -> active covering-row
+    refs (the index arrays ride in the closure; KB-sized for layer
+    tables)."""
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def stab(cell_id: pd.Series) -> pd.Series:
+        c = cell_id.to_numpy(dtype=np.int64).view(np.uint64)
+        seg = np.searchsorted(starts, c, side="right") - 1
+        return pd.Series([refs[offsets[k]:offsets[k + 1]].tolist()
+                          for k in seg])
+
+    return stab
+
+
 def _pip_edges_array_df(spark: SparkSession,
                         polygons: list[tuple[str, int, Polygon]]):
     """(polygon_id, origin_inside, edges: array<struct<cx..cz, dx..dz,
@@ -297,34 +366,55 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
     (triage -> exact escalation) — the reference-parity path.
     verify="sql": pure-JVM crossing-parity fold (zero Python workers in
     the whole join; triage-only signs, identical formula to the oracle).
-    """
-    rows = build_covering_rows(polygons, max_cells)
-    cov = spark.createDataFrame(rows, _COV_SCHEMA)
-    levels = sorted({r[3] for r in rows})
-    # ancestor keys at each distinct covering level (pure bit math);
-    # covering cells of one polygon are disjoint, so each page matches at
-    # most one covering cell per polygon — no dedup needed.
-    parents = F.array(*[
-        (F.col("cell_id").bitwiseAND(F.lit(~(2 * (1 << (2 * (30 - lv))) - 1)))
-         .bitwiseOR(F.lit(1 << (2 * (30 - lv))))).cast("long")
-        for lv in levels
-    ])
-    probe = pages.withColumn("probe_cell", F.explode(parents))
 
-    if strategy == "broadcast":
-        joined = probe.join(
-            F.broadcast(cov.withColumnRenamed("cell_id", "probe_cell")),
-            "probe_cell", "inner")
-    elif strategy == "salted":
-        salted_cov = cov.withColumnRenamed("cell_id", "probe_cell").join(
-            spark.range(nsalt).select(F.col("id").cast("int").alias("salt")))
-        probe = probe.withColumn(
-            "salt", F.pmod(F.xxhash64("url"), F.lit(nsalt)).cast("int"))
-        # hash map builds from the (small) salted covering side
-        joined = probe.join(salted_cov.hint("shuffle_hash"),
-                            ["probe_cell", "salt"], "inner")
+    strategy="range" is the S2CellIndex stabbing path: one Arrow binary
+    search per page against the swept rangeNodes segments instead of a
+    probe-row per covering level — no probe explode, unclamped (tighter)
+    coverings, broadcast ref->metadata join.
+    """
+    if strategy == "range":
+        starts, offsets, flat, meta = build_range_index(polygons,
+                                                        max_cells)
+        stab = make_stab_udf(starts, offsets, flat)
+        meta_df = spark.createDataFrame(
+            meta, "ref int, layer string, polygon_id long, "
+                  "is_interior boolean")
+        joined = (pages.withColumn("ref",
+                                   F.explode(stab(F.col("cell_id"))))
+                  .join(F.broadcast(meta_df), "ref", "inner"))
     else:
-        raise ValueError(f"unknown strategy {strategy!r}")
+        rows = build_covering_rows(polygons, max_cells)
+        cov = spark.createDataFrame(rows, _COV_SCHEMA)
+        levels = sorted({r[3] for r in rows})
+        # ancestor keys at each distinct covering level (pure bit math);
+        # covering cells of one polygon are disjoint, so each page
+        # matches at most one covering cell per polygon — no dedup.
+        parents = F.array(*[
+            (F.col("cell_id")
+             .bitwiseAND(F.lit(~(2 * (1 << (2 * (30 - lv))) - 1)))
+             .bitwiseOR(F.lit(1 << (2 * (30 - lv))))).cast("long")
+            for lv in levels
+        ])
+        probe = pages.withColumn("probe_cell", F.explode(parents))
+
+        if strategy == "broadcast":
+            joined = probe.join(
+                F.broadcast(cov.withColumnRenamed("cell_id",
+                                                  "probe_cell")),
+                "probe_cell", "inner")
+        elif strategy == "salted":
+            salted_cov = (cov.withColumnRenamed("cell_id", "probe_cell")
+                          .join(spark.range(nsalt)
+                                .select(F.col("id").cast("int")
+                                        .alias("salt"))))
+            probe = probe.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("url"), F.lit(nsalt)).cast("int"))
+            # hash map builds from the (small) salted covering side
+            joined = probe.join(salted_cov.hint("shuffle_hash"),
+                                ["probe_cell", "salt"], "inner")
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
 
     # single pass: interior fast-accept OR exact PIP — one scan of the
     # pages side (a union of two branches would recompute the whole

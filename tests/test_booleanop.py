@@ -174,3 +174,44 @@ def test_contains_nested_rejects_degenerate_two_vertex_loop():
     two.origin_inside = False
     two._bound = None
     assert contains_nested(a, two) is False
+
+
+def test_clip_polyline_to_polygon():
+    """B3 polyline operand: a line through a disc keeps exactly the
+    inside chord (intersection) / the two outside stubs (difference),
+    and the piece endpoints lie on the boundary ring's crossings."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel.booleanop import clip_polyline
+    from s2_geometry_kotlin_spark.kernel.regions import Loop, Polygon
+    from s2_geometry_kotlin_spark.sources.layers import \
+        regular_loop_vertices
+
+    disc = Polygon([Loop(regular_loop_vertices(10.0, 20.0, 2.0, 32))])
+
+    def line(lls):
+        lat = np.array([p[0] for p in lls])
+        lon = np.array([p[1] for p in lls])
+        x, y, z = ck.latlng_deg_to_xyz(lat, lon)
+        return np.stack([x, y, z], axis=1)
+
+    through = line([(10.0, 14.0), (10.0, 26.0)])
+    inside = clip_polyline(through, disc, keep_inside=True)
+    outside = clip_polyline(through, disc, keep_inside=False)
+    assert len(inside) == 1 and len(outside) == 2
+    # endpoints of the kept chord are the boundary crossings; both
+    # verdicts partition the line (shared endpoints)
+    assert np.allclose(inside[0][0], outside[0][-1])
+    assert np.allclose(inside[0][-1], outside[1][0])
+    # all chord interior points are inside the disc
+    mid = inside[0][0] + inside[0][-1]
+    mid /= np.linalg.norm(mid)
+    assert disc.contains_point(mid)
+
+    # a line fully outside is untouched by difference, empty by
+    # intersection
+    away = line([(40.0, 14.0), (40.0, 26.0)])
+    assert clip_polyline(away, disc, keep_inside=True) == []
+    off = clip_polyline(away, disc, keep_inside=False)
+    assert len(off) == 1 and len(off[0]) == 2
