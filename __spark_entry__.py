@@ -592,6 +592,33 @@ def q_pages_in_snapped_layer(spark: SparkSession,
     return pages_in_snapped(_geo_pages(spark, sf_dir), spark)
 
 
+def q_cell_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch twin of the stateful streaming session tracker (the
+    SAME cell_session_state operator the stream==batch tests compare
+    against): deterministic geotag from user_id, leaf cell via the
+    Arrow kernel, per-l8-cell event/user/first/last aggregate.  The
+    oracle re-derives the geotag and the full Hilbert encode in SQL."""
+    from s2_geometry_kotlin_spark.streaming import cell_session_state
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cell_session_state(events)
+
+
+def _cell_sessions_oracle_sql() -> str:
+    from s2_geometry_kotlin_spark.functions import sqlgen
+    src = ("SELECT event_id, ts, user_id, "
+           "((user_id * 7919 + 12345) % 160000001 - 80000000) / 1e6 "
+           "AS lat, "
+           "((user_id * 104729 + 54321) % 360000001 - 180000000) / 1e6 "
+           "AS lon FROM events")
+    return (sqlgen.cellid_from_latlng_query(src, "event_id, ts, user_id")
+            + "\nSELECT "
+            + sqlgen.parent_sql("cell_id", 8) + " AS cell_l8, "
+            "COUNT(*) AS n_events, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "MIN(ts) AS first_seen, MAX(ts) AS last_seen "
+            "FROM henc GROUP BY 1")
+
+
 def q_polygon_loop_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2/M3 oracle: per-loop spherical areas of the fixture layer via
     the measures kernel; DuckDB recomputes them with the independent
@@ -619,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_loop_areas": q_polygon_loop_areas,
         "route_project_simplified": q_route_project_simplified,
         "pages_in_snapped_layer": q_pages_in_snapped_layer,
+        "cell_sessions_batch": q_cell_sessions_batch,
         "token_stats": ts.q_token_stats,
         "bpe_token_stats": ts.q_bpe_token_stats,
         "quality": ts.q_quality,
@@ -630,6 +658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": __import__(
             "s2_geometry_kotlin_spark.operators.components",
             fromlist=["q_dedup_components"]).q_dedup_components,
+        "media_frames": __import__(
+            "s2_geometry_kotlin_spark.operators.multimodal",
+            fromlist=["q_media_frames"]).q_media_frames,
+        "media_features": __import__(
+            "s2_geometry_kotlin_spark.operators.multimodal",
+            fromlist=["q_media_features"]).q_media_features,
         "simhash": dedup.q_simhash,
         "simhash_neardup_pairs": dedup.q_simhash_neardup_pairs,
         "embed_neardup_pairs": similarity.q_embed_neardup_pairs,
@@ -744,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "route_project_simplified": _pxyz_with(
             route_project_sql(_routes_simplified(), ROUTE_RADIUS_RAD)),
         "pages_in_snapped_layer": _snapped_oracle_sql(),
+        "cell_sessions_batch": _cell_sessions_oracle_sql(),
         "token_stats": ts.token_stats_sql(),
         "bpe_token_stats": ts.bpe_token_stats_sql(),
         "quality": ts.quality_sql(),
@@ -755,6 +790,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": __import__(
             "s2_geometry_kotlin_spark.operators.components",
             fromlist=["dedup_components_sql"]).dedup_components_sql(),
+        "media_frames": __import__(
+            "s2_geometry_kotlin_spark.operators.multimodal",
+            fromlist=["media_frames_sql"]).media_frames_sql(),
+        "media_features": __import__(
+            "s2_geometry_kotlin_spark.operators.multimodal",
+            fromlist=["media_features_sql"]).media_features_sql(),
         "simhash": dedup.simhash_sql(),
         "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
         "embed_neardup_pairs": similarity.embed_neardup_sql(),
