@@ -248,7 +248,7 @@ def pip_join_ctes(polygons) -> str:
     edge_rows = []
     meta_rows = []
     for layer, pid, poly in polygons:
-        oi = False
+        oi = bool(getattr(poly, "inverted", False))
         for lp in poly.loops:
             verts = lp.vertices
             oi ^= _pip.compute_origin_inside(verts)
@@ -319,7 +319,7 @@ def within_distance_ctes(polygons, max_d2: float) -> str:
     edge_rows = []
     meta_rows = []
     for layer, pid, poly in polygons:
-        oi = False
+        oi = bool(getattr(poly, "inverted", False))
         for lp in poly.loops:
             verts = lp.vertices
             oi ^= _pip.compute_origin_inside(verts)

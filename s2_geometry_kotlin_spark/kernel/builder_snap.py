@@ -101,7 +101,8 @@ class CellIdSnap(SnapFunction):
     def __init__(self, level: int, snap_radius: float | None = None):
         self.level = int(level)
         min_r = 0.5 * metrics.MAX_DIAG.get_value(self.level) + 4 * DBL_EPS
-        self.snap_radius = float(snap_radius) if snap_radius else min_r
+        self.snap_radius = (min_r if snap_radius is None
+                            else float(snap_radius))
         if self.snap_radius < min_r:
             raise ValueError("snap_radius below minimum for level")
         self._min_radius = min_r
@@ -144,7 +145,10 @@ class IntLatLngSnap(SnapFunction):
         self._scale = float(10 ** self.exponent)
         min_r = (math.radians((0.5 * _SQRT2) / self._scale)
                  + (9 * _SQRT2 + 1.5) * DBL_EPS)
-        self.snap_radius = float(snap_radius) if snap_radius else min_r
+        self.snap_radius = (min_r if snap_radius is None
+                            else float(snap_radius))
+        if self.snap_radius < min_r:
+            raise ValueError("snap_radius below minimum for exponent")
 
     def snap_points(self, pts: np.ndarray) -> np.ndarray:
         pts = np.asarray(pts, dtype=np.float64)
@@ -199,17 +203,28 @@ def snap_edge(x: np.ndarray, y: np.ndarray, sites: np.ndarray,
     ys = np.broadcast_to(y, sites.shape)
     d2 = point_edge_chord2_pairwise(sites, xs, ys)
     near = np.flatnonzero(d2 <= r2)
-    # order along the edge by angle of the projection from x; endpoint
-    # sites anchor the chain even if they sit just outside the radius
-    # (possible when a vertex snapped a full snap_radius away)
-    chain_ids = set(near.tolist()) | {first, last}
-    def park(i: int) -> float:
+    # order by PROJECTION along the edge (angle from x of each site's
+    # closest point on the edge — NOT distance from x, which reorders
+    # sites with different perpendicular offsets and can zig-zag the
+    # chain); endpoint sites anchor the chain even if they sit just
+    # outside the radius (possible when a vertex snapped a full
+    # snap_radius away)
+    from .edges import project_to_edge
+    chain_ids = sorted(set(near.tolist()) | {first, last})
+    pts = sites[chain_ids]
+    feet = project_to_edge(pts, np.broadcast_to(x, pts.shape),
+                           np.broadcast_to(y, pts.shape))
+    t = np.arccos(np.clip(feet @ x, -1.0, 1.0))
+
+    def park(k: int) -> float:
+        i = chain_ids[k]
         if i == first:
             return -1.0
         if i == last:
             return 4.0  # > pi: always sorts after interior sites
-        return math.acos(float(np.clip(x @ sites[i], -1.0, 1.0)))
-    return sorted(chain_ids, key=park)
+        return float(t[k])
+    order = sorted(range(len(chain_ids)), key=park)
+    return [chain_ids[k] for k in order]
 
 
 def _drop_degeneracies(chain: list[int]) -> list[int]:

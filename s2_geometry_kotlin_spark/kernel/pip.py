@@ -111,15 +111,18 @@ def _is_empty_or_full(v: np.ndarray) -> bool:
 
 def polygon_contains_points(loops: list[np.ndarray],
                             points: np.ndarray,
-                            vertex_model: str = "semi_open") -> np.ndarray:
+                            vertex_model: str = "semi_open",
+                            inverted: bool = False) -> np.ndarray:
     """Multi-loop polygon containment: xor of per-loop parity
-    (S2Polygon.kt:1357-1376).
+    (S2Polygon.kt:1357-1376).  `inverted` is the Polygon.inverted
+    parity bit (initOriented steps 4-5, regions.py): a polygon whose
+    region is the complement of its stored loops' xor.
 
     P6 vertex models (S2ContainsPointQuery.kt:44 S2VertexModel, applied
     as in shapeContains): SEMI_OPEN is the parity default; under OPEN a
     point coinciding with any polygon vertex is never contained, under
     CLOSED it always is."""
-    out = np.zeros(len(points), dtype=bool)
+    out = np.full(len(points), bool(inverted), dtype=bool)
     for verts in loops:
         oi = compute_origin_inside(verts)
         out ^= loop_contains_points(verts, points, oi)

@@ -812,7 +812,7 @@ class Polygon:
     """
 
     def __init__(self, loops: list[Loop]):
-        from . import measures, pip
+        from . import measures
         contained_origin: list[bool] = []
         normed = []
         for lp in loops:

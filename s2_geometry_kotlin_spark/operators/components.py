@@ -45,6 +45,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     comp = (edges.select(F.col("u").alias("node"))
             .distinct()
             .withColumn("comp", F.col("node")))
+    converged = False
     for _ in range(max_rounds):
         # neighbor minimum, one shuffle keyed by the receiving node
         msgs = (edges.join(comp, edges.u == comp.node)
@@ -62,7 +63,16 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
                .localCheckpoint())
         comp = nxt.select("node", F.col("new_comp").alias("comp"))
         if nxt.where("changed").limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would split real clusters and keep
+        # duplicates downstream; fail loudly instead (a graph whose
+        # diameter exceeds max_rounds needs a larger budget or the
+        # large-star/small-star contraction)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds (graph diameter too large); raise max_rounds")
     return comp.select("node", "comp")
 
 

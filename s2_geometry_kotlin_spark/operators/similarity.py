@@ -359,11 +359,16 @@ def _ivf_assign_expr(cents: list[list[float]], vcol):
 def ivf_assign_arrow(df: DataFrame, cents: list[list[float]],
                      vcol: str = "v", out: str = "cid") -> DataFrame:
     """Arrow argmin assignment kernel: one vectorized numpy matmul per
-    Arrow batch instead of the interpreted Catalyst fold.  Same
-    tie-break (lowest cid on equal d2, which np.argmin gives).  This is
-    the K=4096-scale path — the Catalyst `F.aggregate` fold in
-    `_ivf_assign_expr` is O(K*D) interpreted per row and only acceptable
-    at K=16 (see BENCH/BASELINE.md HOF-vs-Arrow note)."""
+    Arrow batch instead of the interpreted Catalyst fold.  Both paths
+    tie-break to the lowest cid, but the distance forms differ in FP
+    rounding (|c|^2 - 2 x.c here vs the fold's sum((x-c)^2)), so a
+    vector whose two nearest centroids are within ~1e-15 relative could
+    in principle be assigned differently; with centroids rounded to 6dp
+    such exact ties are measure-zero, and tests/test_ivf_arrow.py
+    asserts equality on the fixture data.  This is the K=4096-scale
+    path — the Catalyst `F.aggregate` fold in `_ivf_assign_expr` is
+    O(K*D) interpreted per row and only acceptable at K=16 (measured
+    5.7x at 2M vectors, bench `ivf_assign_hof`/`ivf_assign_arrow`)."""
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(cents, dtype=np.float64)          # (K, D)

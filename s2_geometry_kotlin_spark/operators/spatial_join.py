@@ -108,6 +108,8 @@ def make_pip_udf(polygons: list[tuple[str, int, Polygon]]):
         pid: [lp.vertices for lp in poly.loops]
         for _, pid, poly in polygons
     }
+    inv_by_pid = {pid: bool(getattr(poly, "inverted", False))
+                  for _, pid, poly in polygons}
 
     @pandas_udf(BooleanType())
     def pip_contains(polygon_id: pd.Series, lat: pd.Series,
@@ -121,7 +123,8 @@ def make_pip_udf(polygons: list[tuple[str, int, Polygon]]):
         for pid in np.unique(pids):
             mask = pids == pid
             out[mask] = pip.polygon_contains_points(
-                loops_by_pid[int(pid)], pts[mask])
+                loops_by_pid[int(pid)], pts[mask],
+                inverted=inv_by_pid[int(pid)])
         return pd.Series(out)
 
     return pip_contains
@@ -162,6 +165,8 @@ def make_within_distance_udf(polygons: list[tuple[str, int, Polygon]],
     """(polygon_id, lat, lon) -> contained OR within chord distance of any
     polygon edge (D2 point-edge kernel + P4 parity)."""
     from ..kernel import distance as dist
+    inv_by_pid = {pid: bool(getattr(poly, "inverted", False))
+                  for _, pid, poly in polygons}
     loops_by_pid = {pid: [lp.vertices for lp in poly.loops]
                     for _, pid, poly in polygons}
     max_d2 = float(dist.radians_to_chord2(radius_rad))
@@ -178,7 +183,9 @@ def make_within_distance_udf(polygons: list[tuple[str, int, Polygon]],
         for pid in np.unique(pids):
             mask = pids == pid
             sub = pts[mask]
-            res = pip.polygon_contains_points(loops_by_pid[int(pid)], sub)
+            res = pip.polygon_contains_points(
+                loops_by_pid[int(pid)], sub,
+                inverted=inv_by_pid[int(pid)])
             for verts in loops_by_pid[int(pid)]:
                 a = verts
                 b = np.roll(verts, -1, axis=0)
@@ -295,7 +302,7 @@ def _pip_edges_array_df(spark: SparkSession,
     o = _pred.ORIGIN
     rows = []
     for layer, pid, poly in polygons:
-        oi = False
+        oi = bool(getattr(poly, "inverted", False))
         edges = []
         for lp in poly.loops:
             verts = lp.vertices

@@ -215,3 +215,28 @@ def test_clip_polyline_to_polygon():
     assert clip_polyline(away, disc, keep_inside=True) == []
     off = clip_polyline(away, disc, keep_inside=False)
     assert len(off) == 1 and len(off[0]) == 2
+
+
+def test_inverted_polygon_pip_kernel_consistency():
+    """The PIP verify kernels honor Polygon.inverted: the vectorized
+    polygon_contains_points(inverted=...) agrees with
+    Polygon.contains_point for a >half-sphere shell."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel import pip
+    from s2_geometry_kotlin_spark.kernel.regions import Loop, Polygon
+    from s2_geometry_kotlin_spark.sources.layers import \
+        regular_loop_vertices
+
+    big = Polygon([Loop(regular_loop_vertices(48.0, 2.0, 120.0, 24))])
+    assert big.inverted  # shell encloses >half the sphere
+    lat = np.array([48.0, -48.0, 0.0, -80.0])
+    lon = np.array([2.0, -178.0, 90.0, -178.0])
+    x, y, z = ck.latlng_deg_to_xyz(lat, lon)
+    pts = np.stack([x, y, z], axis=1)
+    vec = pip.polygon_contains_points(
+        [lp.vertices for lp in big.loops], pts, inverted=big.inverted)
+    ref = np.array([big.contains_point(p) for p in pts])
+    assert np.array_equal(vec, ref)
+    assert vec[0] and not vec[1]  # near center in, antipode out
