@@ -193,15 +193,35 @@ def clip_polyline(line_vertices: np.ndarray, poly: Polygon,
     return pieces
 
 
-def polygon_boolean(a: Polygon, b: Polygon, op: str) -> Polygon:
+def polygon_boolean(a: Polygon, b: Polygon, op: str,
+                    snap_on_failure: bool = True) -> Polygon:
     """A op B as a new Polygon (op: intersection | union | difference |
     symmetric_difference).  Semantics of
     S2Polygon.initToIntersection/Union/Difference (S2Polygon.kt:768-801)
     for operands in general position; symmetric difference follows
     S2BooleanOperation.OpType.SYMMETRIC_DIFFERENCE (S2BooleanOperation.kt
-    opType) as (A-B) xor-composed with (B-A)."""
+    opType) as (A-B) xor-composed with (B-A).  With snap_on_failure, a
+    stitch failure triggers one B1 snap-rounding pass over both
+    operands and a retry (dirty-input ingestion, see inline note)."""
     if op not in OPS:
         raise ValueError(f"op must be one of {OPS}")
+    if snap_on_failure and op != "symmetric_difference":
+        try:
+            return polygon_boolean(a, b, op, snap_on_failure=False)
+        except ValueError:
+            # general-position violation inside one operand (duplicate
+            # vertices, near-degenerate edges): snap-round both operands
+            # to level-20 cell centers (~10 m sites) — the reference's
+            # S2Builder ingestion step — and retry once.  Does NOT
+            # rescue operands sharing exact vertices/edges with each
+            # other (those snap to the same sites; the reference
+            # resolves them through CrossingProcessor's vertex-crossing
+            # machinery, documented out of scope).
+            from .builder_snap import CellIdSnap, snap_polygon
+            snap = CellIdSnap(20)
+            return polygon_boolean(snap_polygon(a, snap),
+                                   snap_polygon(b, snap), op,
+                                   snap_on_failure=False)
     if op == "symmetric_difference":
         d1 = polygon_boolean(a, b, "difference")
         d2 = polygon_boolean(b, a, "difference")

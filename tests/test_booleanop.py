@@ -240,3 +240,36 @@ def test_inverted_polygon_pip_kernel_consistency():
     ref = np.array([big.contains_point(p) for p in pts])
     assert np.array_equal(vec, ref)
     assert vec[0] and not vec[1]  # near center in, antipode out
+
+
+def test_dirty_operand_auto_snaps():
+    """A vertex of A lying EXACTLY on an edge of B violates general
+    position: the no-retry path fails to stitch, and the snap-rounding
+    retry (B1 ingestion) rescues it."""
+    import numpy as np
+    import pytest
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel.booleanop import polygon_boolean
+    from s2_geometry_kotlin_spark.kernel.edges import interpolate
+    from s2_geometry_kotlin_spark.kernel.regions import Loop, Polygon
+    from s2_geometry_kotlin_spark.sources.layers import \
+        regular_loop_vertices
+
+    b_ring = regular_loop_vertices(10.0, 20.0, 3.0, 8)
+    m = interpolate(b_ring[0][None], b_ring[1][None], 0.5)[0]
+
+    def ll(lat, lon):
+        x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lon]))
+        return np.array([x[0], y[0], z[0]])
+
+    a = Polygon([Loop(np.array([m, ll(16.0, 26.0), ll(16.0, 20.0)]))])
+    b = Polygon([Loop(b_ring)])
+    with pytest.raises(ValueError, match="stitch failed"):
+        polygon_boolean(a, b, "intersection", snap_on_failure=False)
+    inter = polygon_boolean(a, b, "intersection")  # retry path
+    assert len(inter.loops) == 1
+    # duplicate vertices also survive (benign even without retry)
+    dirty = np.insert(b_ring, 5, b_ring[5], axis=0)
+    inter2 = polygon_boolean(Polygon([Loop(dirty)]), a, "intersection")
+    assert inter2.loops
