@@ -205,26 +205,29 @@ def polygon_boolean(a: Polygon, b: Polygon, op: str,
     operands and a retry (dirty-input ingestion, see inline note)."""
     if op not in OPS:
         raise ValueError(f"op must be one of {OPS}")
-    if snap_on_failure and op != "symmetric_difference":
+    if snap_on_failure:
         try:
             return polygon_boolean(a, b, op, snap_on_failure=False)
         except ValueError:
             # general-position violation inside one operand (duplicate
             # vertices, near-degenerate edges): snap-round both operands
             # to level-20 cell centers (~10 m sites) — the reference's
-            # S2Builder ingestion step — and retry once.  Does NOT
-            # rescue operands sharing exact vertices/edges with each
-            # other (those snap to the same sites; the reference
-            # resolves them through CrossingProcessor's vertex-crossing
-            # machinery, documented out of scope).
+            # S2Builder ingestion step — and retry once.  The snap
+            # decision is made ONCE for the operand pair, so composed
+            # ops (symmetric_difference = two differences) see the same
+            # inputs on both legs and their seams match bit-for-bit.
+            # Does NOT rescue operands sharing exact vertices/edges
+            # with each other (those snap to the same sites; the
+            # reference resolves them through CrossingProcessor's
+            # vertex-crossing machinery — see polygon_boolean_shared).
             from .builder_snap import CellIdSnap, snap_polygon
             snap = CellIdSnap(20)
             return polygon_boolean(snap_polygon(a, snap),
                                    snap_polygon(b, snap), op,
                                    snap_on_failure=False)
     if op == "symmetric_difference":
-        d1 = polygon_boolean(a, b, "difference")
-        d2 = polygon_boolean(b, a, "difference")
+        d1 = polygon_boolean(a, b, "difference", snap_on_failure=False)
+        d2 = polygon_boolean(b, a, "difference", snap_on_failure=False)
         # the two differences are disjoint (boundaries may touch at the
         # original crossing points only), so the xor model composes them
         return Polygon([Loop(v.copy()) for p in (d1, d2)

@@ -59,13 +59,13 @@ def _loops_cross(a: Loop, b: Loop) -> bool:
 def contains_nested(a: Loop, b: Loop) -> bool:
     """S2Loop.containsNested (S2Loop.kt:769-790): given that A and B
     share no edges and either nest or are disjoint, does A contain B?"""
+    if a.is_empty_or_full() or b.is_empty_or_full():
+        # reference: isEmptyOrFull() || b.isEmptyOrFull() short-circuits
+        # to isFull() || b.isEmpty() — the full loop contains everything
+        # and every loop contains the empty loop (S2Loop.kt:771-772)
+        return a.is_full() or b.is_empty()
     if not a.rect_bound().contains_rect(b.rect_bound()) and \
             not a.rect_bound().intersects_rect(b.rect_bound()):
-        return False
-    if len(b.vertices) < 3:
-        # the reference requires >= 3 vertices (S2Loop.containsNested
-        # precondition); a 2-vertex loop would alias b.vertices[2 % len]
-        # back to vertex 0 and make the wedge test degenerate
         return False
     m = find_vertex(a, b.vertices[1])
     if m < 0:

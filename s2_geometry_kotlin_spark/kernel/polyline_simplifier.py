@@ -129,7 +129,11 @@ def simplify_polyline(vertices: np.ndarray,
     s.init(v[0])
     for i in range(1, n):
         if not s.extend(v[i]):
-            out.append(i - 1)
+            # guard: if extend() fails on the very first candidate after
+            # a restart (edge longer than 90°), i-1 is already the last
+            # emitted vertex — appending again would duplicate it
+            if out[-1] != i - 1:
+                out.append(i - 1)
             s.init(v[i - 1])
         s.target_disc(v[i], tolerance_rad)
     if out[-1] != n - 1:

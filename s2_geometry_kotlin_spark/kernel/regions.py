@@ -645,6 +645,17 @@ class Loop:
             pts.append([x[0], y[0], z[0]])
         return Loop(np.array(pts, dtype=np.float64))
 
+    def is_empty_or_full(self) -> bool:
+        """Sentinel loops (<3 vertices) encode the empty / full loop
+        (S2Loop.isEmptyOrFull); origin_inside distinguishes them."""
+        return len(self.vertices) < 3
+
+    def is_full(self) -> bool:
+        return self.is_empty_or_full() and bool(self.origin_inside)
+
+    def is_empty(self) -> bool:
+        return self.is_empty_or_full() and not self.origin_inside
+
     def contains_point(self, p: np.ndarray) -> bool:
         return bool(pip.loop_contains_points(
             self.vertices, np.asarray(p)[None, :], self.origin_inside)[0])

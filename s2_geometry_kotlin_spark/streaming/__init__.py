@@ -93,7 +93,15 @@ _STATE_SCHEMA = "n long, kmv array<long>, first timestamp, last timestamp"
 # seen; beyond that, estimate = (K-1) * 2^63 / kth_smallest_hash.
 # Fixed-size state regardless of stream length (the r2 truncated-list
 # bug silently re-counted dropped users past 1000).
-KMV_K = 1024
+# KMV sketch size.  The stream==batch tests and the cell_sessions
+# oracle compare this against exact COUNT(DISTINCT), so the sketch must
+# stay EXACT (len < K) at every scale those gates run: the synthetic
+# events table carries ~15k distinct users per 1M events at sf1 and a
+# single hot cell can hold all of them, so K = 65536 gives >4x headroom
+# through sf1 while still bounding state per cell at 512 KB.  Beyond
+# that cardinality the estimate is +-~0.4% and the exact-comparison
+# gates must switch to a tolerance — loudly, not silently.
+KMV_K = 65536
 _H63 = 1 << 63
 
 
@@ -200,6 +208,11 @@ def _drain_and_stop(q, idle_polls: int = 4, poll_s: float = 0.25,
     expirations during their data batches.)"""
     import time
     deadline = time.monotonic() + max_wait_s
+    saw_data = False  # latched: recentProgress is a RING capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    # long run of timeout-only empty batches would evict the data batch
+    # and un-set a recomputed flag; once observed, data stays observed.
+    n_empty_only_polls = 0
     while True:
         if time.monotonic() > deadline:
             q.stop()
@@ -209,22 +222,26 @@ def _drain_and_stop(q, idle_polls: int = 4, poll_s: float = 0.25,
         if not q.isActive:
             q.awaitTermination()  # surface the query's exception
             return
-        # recentProgress accumulates THIS run's completed batches, so a
-        # data batch can't slip between polls.  A completed zero-input
-        # batch AFTER a data batch means the file source listed no new
-        # files: drained.  A checkpoint-resumed run may REPLAY the
-        # prior run's uncommitted (empty, timeout-only) batch first, so
-        # an empty batch alone is not drain evidence — without any data
-        # batch we only give up after many empty batches (the
-        # caller-ran-with-no-new-files case).
+        # recentProgress accumulates THIS run's completed batches (ring
+        # of 100 — far more than a poll interval can produce), so a data
+        # batch can't slip between polls before being latched.  A
+        # completed zero-input batch AFTER a data batch means the file
+        # source listed no new files: drained.  A checkpoint-resumed run
+        # may REPLAY the prior run's uncommitted (empty, timeout-only)
+        # batch first, so an empty batch alone is not drain evidence —
+        # without any data batch we only give up after many empty
+        # batches (the caller-ran-with-no-new-files case).
         progs = q.recentProgress
         if not progs:
             continue
-        saw_data = any(p["numInputRows"] > 0 for p in progs)
+        if any(p["numInputRows"] > 0 for p in progs):
+            saw_data = True
         if saw_data and progs[-1]["numInputRows"] == 0:
             break
-        if not saw_data and len(progs) >= 8 * idle_polls:
-            break
+        if not saw_data:
+            n_empty_only_polls += 1
+            if n_empty_only_polls >= 8 * idle_polls:
+                break
     q.stop()
 
 

@@ -165,15 +165,30 @@ def area_of_region(p: Polygon) -> float:
     return 4 * math.pi - a if p.inverted else a
 
 
-def test_contains_nested_rejects_degenerate_two_vertex_loop():
+def test_contains_nested_sentinel_loops_follow_reference():
+    """<3-vertex loops are the empty/full sentinels; the reference's
+    containsNested short-circuits to isFull() || b.isEmpty()
+    (S2Loop.kt:771-772) instead of running the degenerate wedge test."""
     from s2_geometry_kotlin_spark.kernel.polygon_relations import \
         contains_nested
     a = Loop(regular_loop_vertices(*PARIS, 2.0, 12))
-    two = Loop.__new__(Loop)
-    two.vertices = regular_loop_vertices(*PARIS, 0.5, 12)[:2]
-    two.origin_inside = False
-    two._bound = None
-    assert contains_nested(a, two) is False
+    empty = Loop.__new__(Loop)
+    empty.vertices = regular_loop_vertices(*PARIS, 0.5, 12)[:2]
+    empty.origin_inside = False
+    empty._bound = None
+    full = Loop.__new__(Loop)
+    full.vertices = empty.vertices[:1]
+    full.origin_inside = True
+    full._bound = None
+    # every loop contains the empty loop
+    assert contains_nested(a, empty) is True
+    # a finite loop does not contain the full loop
+    assert contains_nested(a, full) is False
+    # the full loop contains everything; the empty loop nothing (but
+    # still contains the empty loop)
+    assert contains_nested(full, a) is True
+    assert contains_nested(empty, a) is False
+    assert contains_nested(empty, empty) is True
 
 
 def test_clip_polyline_to_polygon():
