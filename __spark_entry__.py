@@ -49,12 +49,6 @@ def _henc_with() -> str:
 # queries
 # ---------------------------------------------------------------------------
 
-def q_pages_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthesized input table itself (minus binary html)."""
-    return P.load_pages(spark, sf_dir).select(
-        "url", "warc_ts", F.length("text").cast("long").alias("text_len"), "lang")
-
-
 def q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 input path: regex coordinate extraction from text."""
     return (P.geoparse(P.load_pages(spark, sf_dir))
@@ -88,15 +82,6 @@ def q_cell_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew probe: page count per level-12 cell, hot cells only."""
-    df = _geo_pages(spark, sf_dir)
-    return (df.groupBy(s2f.cell_parent(F.col("cell_id"), 12)
-                       .alias("cell_l12"))
-              .agg(F.count("*").alias("n_pages"))
-              .where(F.col("n_pages") >= 5))
-
-
 def q_cell_center_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6/E7 + T1: decode the level-12 cell, compute its center, assign
     the raster tile of the center (vector -> raster conversion)."""
@@ -110,54 +95,67 @@ def q_cell_center_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2f.tile_index(F.col("c.lat"), F.col("c.lon")).alias("tile_c"))
 
 
-def q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: uniform 1-degree raster tile assignment (Tiles.kt:103-119)."""
+def q_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 both legs in one query (board-consolidated from the former
+    tile_index + tile_to_cell rows): every geocoded page is assigned its
+    uniform 1-degree raster tile (Tiles.kt:103-119) — the per-page
+    assignments surface as the per-tile page count — and each occupied
+    tile's center is mapped back to its leaf S2 cell
+    (Tiles.tileBounds/tileCenter -> S2CellId, the raster -> vector
+    inverse of cell_center_tile)."""
     df = P.geoparse(P.load_pages(spark, sf_dir)).where(
         F.col("lat").isNotNull())
-    return df.select(
-        "url", s2f.tile_index(F.col("lat"), F.col("lon")).alias("tile"))
-
-
-def q_tile_to_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 raster -> vector: for each distinct 1-degree raster tile with
-    pages, the leaf S2 cell of the tile's center — the inverse of
-    cell_center_tile (Tiles.tileBounds/tileCenter -> S2CellId)."""
-    df = P.geoparse(P.load_pages(spark, sf_dir)).where(
-        F.col("lat").isNotNull())
-    tiles = (df.select(s2f.tile_index(F.col("lat"), F.col("lon"))
-                       .alias("tile")).distinct())
+    tiles = (df.groupBy(s2f.tile_index(F.col("lat"), F.col("lon"))
+                        .alias("tile"))
+               .agg(F.count("*").alias("n_pages")))
     center_lat = (F.floor(F.col("tile") / F.lit(360)) + F.lit(0.5)) - 90.0
     center_lon = (F.col("tile") % F.lit(360) + F.lit(0.5)) - 180.0
     return (tiles.withColumn("clat", center_lat)
             .withColumn("clon", center_lon)
-            .select("tile", s2f.s2_cellid("clat", "clon")
+            .select("tile", "n_pages", s2f.s2_cellid("clat", "clon")
                     .alias("center_cell")))
 
 
-def _tile_to_cell_oracle_sql() -> str:
+def _tile_roundtrip_oracle_sql() -> str:
     tile_expr = (
         "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
         "(-?\\d+\\.\\d+)\\)', 1) AS DOUBLE) - (-90.0)) / 1.0) AS BIGINT)"
         " * 360 + "
         "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
         "(-?\\d+\\.\\d+)\\)', 2) AS DOUBLE) - (-180.0)) / 1.0) AS BIGINT)")
-    src = (f"SELECT tile, (CAST(tile // 360 AS DOUBLE) + 0.5) - 90.0 AS "
-           f"lat, (CAST(tile % 360 AS DOUBLE) + 0.5) - 180.0 AS lon "
-           f"FROM (SELECT DISTINCT {tile_expr} AS tile FROM pages "
-           f"WHERE text LIKE '%GEO(%') t")
-    inner = sqlgen.cellid_from_latlng_query(src, "tile")
+    src = (f"SELECT tile, n_pages, (CAST(tile // 360 AS DOUBLE) + 0.5) "
+           f"- 90.0 AS lat, (CAST(tile % 360 AS DOUBLE) + 0.5) - 180.0 "
+           f"AS lon FROM (SELECT {tile_expr} AS tile, COUNT(*) AS "
+           f"n_pages FROM pages WHERE text LIKE '%GEO(%' GROUP BY 1) t")
+    inner = sqlgen.cellid_from_latlng_query(src, "tile, n_pages")
     return (inner.replace("WITH ", "WITH " + P.pages_cte_duckdb() + ",\n", 1)
-            + "\nSELECT tile, cell_id AS center_cell FROM henc")
+            + "\nSELECT tile, n_pages, cell_id AS center_cell FROM henc")
 
 
 def q_lang_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregation push-down probe: pages + distinct hosts per (lang, l4)."""
-    df = _geo_pages(spark, sf_dir)
-    return (df.groupBy("lang",
-                       s2f.cell_parent(F.col("cell_id"), 4).alias("cell_l4"))
-              .agg(F.count("*").alias("n_pages"),
-                   F.countDistinct(F.regexp_extract(
-                       "url", r"https://([^/]+)/", 1)).alias("n_hosts")))
+    """Aggregation push-down probe: pages + distinct hosts per (lang, l4),
+    plus the skew probe folded in (board-consolidated from the former
+    hot_cells row): n_hot_l12 counts the level-12 cells inside the group
+    holding >= 5 of the group's pages — the per-l12 counts the salted
+    join's skew handling keys on."""
+    from pyspark.sql import Window
+    # single lineage: a self-join of two aggregates over _geo_pages
+    # would duplicate the (large) JVM cell-encode expression tree into
+    # both join branches and blow up task serialization; the window +
+    # one groupBy keeps one copy of the scan and two well-keyed shuffles
+    df = (_geo_pages(spark, sf_dir)
+          .select("lang", "url",
+                  s2f.cell_parent(F.col("cell_id"), 4).alias("cell_l4"),
+                  s2f.cell_parent(F.col("cell_id"), 12).alias("cell_l12")))
+    w = Window.partitionBy("lang", "cell_l4", "cell_l12")
+    df = df.withColumn("n12", F.count("*").over(w))
+    return (df.groupBy("lang", "cell_l4")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct(F.regexp_extract(
+                     "url", r"https://([^/]+)/", 1)).alias("n_hosts"),
+                 F.countDistinct(F.when(F.col("n12") >= 5,
+                                        F.col("cell_l12")))
+                  .alias("n_hot_l12")))
 
 
 _LAYER_CACHE = None
@@ -274,6 +272,21 @@ def _bool_oracle_sql(op: str) -> str:
             + boolean_oracle_select(op))
 
 
+def _adjacent_union_oracle_sql() -> str:
+    """Shared-border B3 oracle: membership in the constructed union BY
+    DEFINITION — pages inside operand A OR operand B of each adjacent
+    pair (independent PIP verdicts, SQL OR)."""
+    from s2_geometry_kotlin_spark.functions.sqlgen import (pip_join_ctes,
+                                                           xyz_sql)
+    from s2_geometry_kotlin_spark.operators.booleans import adjacent_layer
+    return ("WITH " + P.pages_cte_duckdb() + ",\n"
+            f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+            f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+            + pip_join_ctes(adjacent_layer()) + "\n"
+            + "SELECT DISTINCT url, "
+              "CAST(polygon_id // 2 AS BIGINT) AS pair_id FROM pipjoin")
+
+
 def _snapped_oracle_sql() -> str:
     """B1 oracle: PIP replay over the snap-rounded layer's vertex
     constants (shared with the Spark side, like every layer oracle)."""
@@ -299,6 +312,17 @@ def q_pages_in_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3 UNION: pages inside constructed A∪B per fixture pair."""
     from s2_geometry_kotlin_spark.operators.booleans import pages_in_boolean
     return pages_in_boolean(_geo_pages(spark, sf_dir), spark, "union")
+
+
+def q_pages_in_adjacent_union(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """B3 shared-boundary operands: pages inside the constructed union
+    of two polygons sharing an EXACT border chain (adjacent admin
+    polygons) — the case the reference resolves through
+    CrossingProcessor's vertex-crossing machinery."""
+    from s2_geometry_kotlin_spark.operators.booleans import \
+        pages_in_adjacent_union
+    return pages_in_adjacent_union(_geo_pages(spark, sf_dir), spark)
 
 
 def q_pages_in_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,11 +688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": __import__(
             "s2_geometry_kotlin_spark.operators.multimodal",
             fromlist=["q_media_features"]).q_media_features,
-        "simhash": dedup.q_simhash,
         "simhash_neardup_pairs": dedup.q_simhash_neardup_pairs,
         "embed_neardup_pairs": similarity.q_embed_neardup_pairs,
         "embed_topk_brute": similarity.q_embed_topk_brute,
-        "embed_lsh_buckets": similarity.q_embed_lsh_buckets,
         "embed_ann_bucketed": similarity.q_embed_ann_bucketed,
         "embed_ann_multiprobe": similarity.q_embed_ann_multiprobe,
         "embed_ivf_topk": similarity.q_embed_ivf_topk,
@@ -677,22 +699,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "spatial_join_salted": q_spatial_join_salted,
         "spatial_join_range": q_spatial_join_range,
-        "spatial_join_sql": q_spatial_join_sql,
         "polygon_page_counts": q_polygon_page_counts,
         "pages_in_intersection": q_pages_in_intersection,
         "pages_in_union": q_pages_in_union,
+        "pages_in_adjacent_union": q_pages_in_adjacent_union,
         "pages_in_difference": q_pages_in_difference,
         "pages_in_sym_difference": q_pages_in_sym_difference,
-        "pages_synth": q_pages_synth,
         "geoparse": q_geoparse,
         "cell_leaf": q_cell_leaf,
         "cell_parents": q_cell_parents,
         "cell_token": q_cell_token,
-        "hot_cells": q_hot_cells,
-        "tile_index": q_tile_index,
-        "tile_to_cell": q_tile_to_cell,
+        "tile_roundtrip": q_tile_roundtrip,
         "lang_cell_profile": q_lang_cell_profile,
     }
+    # Board consolidation (round 4): the driver checks at most 50 rows,
+    # so redundant diagnostics were demoted to unit/bench coverage —
+    # spatial_join_sql (bit-identical parity mirror of spatial_join,
+    # still exercised by tests + bench), simhash (feeds the surviving
+    # simhash_neardup_pairs oracle), embed_lsh_buckets (feeds
+    # embed_ann_bucketed/multiprobe), pages_synth (input identity is
+    # transitively pinned by every other oracle); tile_index +
+    # tile_to_cell merged into tile_roundtrip, hot_cells folded into
+    # lang_cell_profile (n_hot_l12).
 
 
 # ---------------------------------------------------------------------------
@@ -796,11 +824,9 @@ def oracle_sql() -> dict[str, str]:
         "media_features": __import__(
             "s2_geometry_kotlin_spark.operators.multimodal",
             fromlist=["media_features_sql"]).media_features_sql(),
-        "simhash": dedup.simhash_sql(),
         "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
         "embed_neardup_pairs": similarity.embed_neardup_sql(),
         "embed_topk_brute": similarity.embed_topk_brute_sql(),
-        "embed_lsh_buckets": similarity.embed_lsh_buckets_sql(),
         "embed_ann_bucketed": similarity.embed_ann_bucketed_sql(),
         "embed_ann_multiprobe": similarity.embed_ann_multiprobe_sql(),
         "embed_ivf_topk": similarity.embed_ivf_topk_sql(),
@@ -812,17 +838,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, layer, polygon_id FROM pipjoin"),
         "spatial_join_range": _pip_oracle_sql(
             "SELECT url, layer, polygon_id FROM pipjoin"),
-        "spatial_join_sql": _pip_oracle_sql(
-            "SELECT url, layer, polygon_id FROM pipjoin"),
         "polygon_page_counts": _pip_oracle_sql(
             "SELECT layer, polygon_id, COUNT(*) AS n_pages FROM pipjoin "
             "GROUP BY 1, 2"),
         "pages_in_intersection": _bool_oracle_sql("intersection"),
         "pages_in_union": _bool_oracle_sql("union"),
+        "pages_in_adjacent_union": _adjacent_union_oracle_sql(),
         "pages_in_difference": _bool_oracle_sql("difference"),
         "pages_in_sym_difference": _bool_oracle_sql("symmetric_difference"),
-        "pages_synth": pages + " SELECT url, warc_ts, "
-                               "length(text) AS text_len, lang FROM pages",
         "geoparse": pages + " " + _GEO_SRC_DUCK,
         "cell_leaf": henc + "\nSELECT url, cell_id FROM henc",
         "cell_parents": henc + "\nSELECT url, "
@@ -833,26 +856,22 @@ def oracle_sql() -> dict[str, str]:
         "cell_token": henc + "\nSELECT url, "
             f"{sqlgen.token_sql(sqlgen.parent_sql('cell_id', 12))} "
             "AS token_l12 FROM henc",
-        "hot_cells": henc + "\nSELECT "
-            f"{sqlgen.parent_sql('cell_id', 12)} AS cell_l12, "
-            "COUNT(*) AS n_pages FROM henc GROUP BY 1 "
-            "HAVING COUNT(*) >= 5",
-        "tile_index": pages + " SELECT url, "
-            "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
-            "(-?\\d+\\.\\d+)\\)', 1) AS DOUBLE) - (-90.0)) / 1.0) AS BIGINT)"
-            " * 360 + "
-            "CAST(floor((CAST(regexp_extract(text, 'GEO\\((-?\\d+\\.\\d+);"
-            "(-?\\d+\\.\\d+)\\)', 2) AS DOUBLE) - (-180.0)) / 1.0) AS BIGINT)"
-            " AS tile FROM pages WHERE text LIKE '%GEO(%'",
-        "tile_to_cell": _tile_to_cell_oracle_sql(),
+        "tile_roundtrip": _tile_roundtrip_oracle_sql(),
         "lang_cell_profile": henc + ",\n"
-            "pl AS (SELECT p.lang, h.url, h.cell_id FROM henc h "
-            "JOIN pages p ON p.url = h.url)\n"
-            "SELECT lang, "
-            f"{sqlgen.parent_sql('cell_id', 4)} AS cell_l4, "
-            "COUNT(*) AS n_pages, "
+            "pl AS (SELECT p.lang, h.url, "
+            f"{sqlgen.parent_sql('h.cell_id', 4)} AS cell_l4, "
+            f"{sqlgen.parent_sql('h.cell_id', 12)} AS cell_l12 "
+            "FROM henc h JOIN pages p ON p.url = h.url),\n"
+            "prof AS (SELECT lang, cell_l4, COUNT(*) AS n_pages, "
             "COUNT(DISTINCT regexp_extract(url, 'https://([^/]+)/', 1)) "
-            "AS n_hosts FROM pl GROUP BY 1, 2",
+            "AS n_hosts FROM pl GROUP BY 1, 2),\n"
+            "hot AS (SELECT lang, cell_l4, COUNT(*) AS n_hot_l12 FROM ("
+            "SELECT lang, cell_l4, cell_l12 FROM pl GROUP BY 1, 2, 3 "
+            "HAVING COUNT(*) >= 5) g GROUP BY 1, 2)\n"
+            "SELECT prof.lang, prof.cell_l4, prof.n_pages, prof.n_hosts, "
+            "COALESCE(hot.n_hot_l12, 0) AS n_hot_l12 FROM prof "
+            "LEFT JOIN hot ON prof.lang = hot.lang "
+            "AND prof.cell_l4 = hot.cell_l4",
     }
 
 

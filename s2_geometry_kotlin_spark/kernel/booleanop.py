@@ -24,11 +24,25 @@ kernels — P2 crossingSign (predicates.py), M8 edge_intersection
    containment/disjoint special case);
 4. stitch kept directed sub-edges into loops by exact endpoint match.
 
-Preconditions (the reference removes these with S2Builder snap rounding;
-see builder_snap.py for the B1 path): polygons are valid, boundaries in
-general position — no shared vertices, no overlapping edges, no
-vertex-on-edge incidences.  Inputs violating this should be snapped
-first (snap_polygon).
+Operands may share exact features with each other (the adjacent-admin-
+polygons case): sub-edges of A that coincide exactly (same endpoint
+coordinates) with sub-edges of B are classified by the SEMI_OPEN
+shared-edge rules the reference implements through CrossingProcessor's
+degenerate-edge accounting (CrossingProcessor.kt isDegenerate/sibling
+handling; PolygonModel.SEMI_OPEN defaults of S2BooleanOperation.kt:287),
+and vertices where four or more kept edges meet (shared vertices, pinch
+points) are stitched with the planar-subdivision face rule: continue
+with the next edge CLOCKWISE from the incoming direction in the tangent
+plane, which is exactly the vertex-crossing resolution P3's
+edgeOrVertexCrossing encodes (S2EdgeCrossings.kt:146-206).
+
+Remaining preconditions (the reference removes these with full S2Builder
+snap rounding; see builder_snap.py for the B1 path): polygons are valid;
+coincident features must match EXACTLY (a border shared by two layers
+must carry identical vertex coordinates in both — true for layer data
+ingested through one snap pass); no vertex-on-edge T-junctions where
+one operand's vertex lies in the interior of the other's edge.  Inputs
+violating this should be snapped first (snap_polygon).
 """
 
 from __future__ import annotations
@@ -110,38 +124,81 @@ def _midpoint(v0: np.ndarray, v1: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _vkey(v: np.ndarray) -> tuple:
+    return (float(v[0]), float(v[1]), float(v[2]))
+
+
+def _tangent_angle(v: np.ndarray, w: np.ndarray,
+                   e1: np.ndarray, e2: np.ndarray) -> float:
+    """Azimuth of the geodesic direction from v toward w in the tangent
+    plane at v (edges are < pi so the projection is well-defined)."""
+    d = w - float(w @ v) * v
+    return math.atan2(float(d @ e2), float(d @ e1))
+
+
+def _pick_clockwise(v: np.ndarray, incoming_from: np.ndarray,
+                    cand_targets: list[np.ndarray]) -> int:
+    """Index of the candidate continuing the face walk at junction v:
+    the next direction CLOCKWISE from the direction back toward the
+    incoming vertex.  This is the planar-subdivision rule that traces
+    each face (interior on the left) without self-crossing — at a pinch
+    vertex it splits the walk into simple loops touching at v, matching
+    the reference's vertex-crossing resolution."""
+    # orthonormal tangent basis at v
+    ref = np.array([1.0, 0.0, 0.0]) if abs(v[0]) < 0.9 \
+        else np.array([0.0, 1.0, 0.0])
+    e1 = np.cross(v, ref)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(v, e1)
+    ang_in = _tangent_angle(v, incoming_from, e1, e2)
+    best_i, best_off = 0, float("inf")
+    for i, w in enumerate(cand_targets):
+        off = (ang_in - _tangent_angle(v, w, e1, e2)) % (2.0 * math.pi)
+        if off <= 0.0:  # sibling of the incoming edge: full turn
+            off = 2.0 * math.pi
+        if off < best_off:
+            best_off, best_i = off, i
+    return best_i
+
+
 def _stitch(subedges: list[tuple[np.ndarray, np.ndarray]]) \
         -> list[np.ndarray]:
     """Assemble directed sub-edges into closed loops by exact endpoint
-    match (general position => each kept vertex has exactly one kept
-    outgoing edge)."""
+    match.  In general position each kept vertex has exactly one kept
+    outgoing edge; at shared/pinch vertices (4+ incident kept edges) the
+    continuation is chosen by the clockwise face rule, which yields
+    simple loops touching at the vertex instead of self-crossing ones."""
     by_start: dict[tuple, list[int]] = {}
     for i, (v0, _) in enumerate(subedges):
-        by_start.setdefault((float(v0[0]), float(v0[1]), float(v0[2])),
-                            []).append(i)
+        by_start.setdefault(_vkey(v0), []).append(i)
     used = [False] * len(subedges)
     loops = []
     for i in range(len(subedges)):
         if used[i]:
             continue
+        start_edge = i
         verts = [subedges[i][0]]
         cur = i
         used[i] = True
         while True:
+            v_prev = subedges[cur][0]
             end = subedges[cur][1]
-            key = (float(end[0]), float(end[1]), float(end[2]))
-            start_key = (float(verts[0][0]), float(verts[0][1]),
-                         float(verts[0][2]))
-            if key == start_key:
-                break
-            nxts = by_start.get(key)
-            if not nxts:
+            key = _vkey(end)
+            cands = [k for k in by_start.get(key, ()) if not used[k]]
+            at_start = key == _vkey(subedges[start_edge][0])
+            if at_start:
+                cands = cands + [start_edge]
+            if not cands:
                 raise ValueError(
                     "boolean-op stitch failed: open chain (inputs not in "
                     "general position? snap them first)")
-            nxt = next((k for k in nxts if not used[k]), None)
-            if nxt is None:
-                raise ValueError("boolean-op stitch failed: reused vertex")
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                nxt = cands[_pick_clockwise(
+                    end, v_prev, [subedges[k][1] for k in cands])]
+            if nxt == start_edge:
+                break
             verts.append(end)
             used[nxt] = True
             cur = nxt
@@ -157,6 +214,74 @@ _RULES = {
     "union": (False, False, False, False),
     "difference": (False, False, True, True),
 }
+
+# shared-edge keep rules (PolygonModel.SEMI_OPEN, the reference default:
+# S2BooleanOperation.kt:287).  A sub-edge of A coinciding exactly with a
+# sub-edge of B is kept at most ONCE, in A's direction.  Derivation by
+# sides: with the interiors of A and B on the SAME side of the edge
+# (same direction), the edge separates inside-both from outside-both —
+# it is boundary of the union and of the intersection, interior to
+# neither difference.  With the interiors on OPPOSITE sides (reversed
+# direction, the adjacent-polygons border), both sides are inside the
+# union (edge interior, drop), both sides outside the intersection
+# (degenerate, SEMI_OPEN drops it), and A's side only is inside A - B
+# (keep, A direction).
+_SHARED_KEEP = {
+    # (op, same_direction) -> keep?
+    ("intersection", True): True,
+    ("intersection", False): False,
+    ("union", True): True,
+    ("union", False): False,
+    ("difference", True): False,
+    ("difference", False): True,
+}
+
+
+def _match_shared(sub_a, sub_b):
+    """Exact shared sub-edges between the operands: returns
+    (shared_a: a-index -> same_direction, shared_b: set of b-indices)."""
+    b_by_key: dict[tuple, int] = {}
+    for j, (w0, w1) in enumerate(sub_b):
+        b_by_key[(_vkey(w0), _vkey(w1))] = j
+    shared_b: set = set()
+    shared_a: dict[int, bool] = {}
+    for i, (v0, v1) in enumerate(sub_a):
+        j = b_by_key.get((_vkey(v0), _vkey(v1)))
+        if j is not None:
+            shared_a[i] = True
+            shared_b.add(j)
+            continue
+        j = b_by_key.get((_vkey(v1), _vkey(v0)))
+        if j is not None:
+            shared_a[i] = False
+            shared_b.add(j)
+    return shared_a, shared_b
+
+
+def _kept_subedges(a: Polygon, b: Polygon, op: str) \
+        -> list[tuple[np.ndarray, np.ndarray]]:
+    """Directed sub-edges of the boundary of (A op B): split, classify
+    (midpoint PIP for generic sub-edges, _SHARED_KEEP for sub-edges the
+    operands share exactly), orient per the op's rule."""
+    la = oriented_boundary_loops(a)
+    lb = oriented_boundary_loops(b)
+    sub_a, sub_b = _split_edges(la, lb)
+    shared_a, shared_b = _match_shared(sub_a, sub_b)
+    want_a, rev_a, want_b, rev_b = _RULES[op]
+    kept = []
+    for i, (v0, v1) in enumerate(sub_a):
+        if i in shared_a:
+            if _SHARED_KEEP[(op, shared_a[i])]:
+                kept.append((v0, v1))  # always A's direction
+            continue
+        if b.contains_point(_midpoint(v0, v1)) == want_a:
+            kept.append((v1, v0) if rev_a else (v0, v1))
+    for j, (v0, v1) in enumerate(sub_b):
+        if j in shared_b:
+            continue  # shared edges contribute at most A's copy
+        if a.contains_point(_midpoint(v0, v1)) == want_b:
+            kept.append((v1, v0) if rev_b else (v0, v1))
+    return kept
 
 
 def clip_polyline(line_vertices: np.ndarray, poly: Polygon,
@@ -216,32 +341,35 @@ def polygon_boolean(a: Polygon, b: Polygon, op: str,
             # decision is made ONCE for the operand pair, so composed
             # ops (symmetric_difference = two differences) see the same
             # inputs on both legs and their seams match bit-for-bit.
-            # Does NOT rescue operands sharing exact vertices/edges
-            # with each other (those snap to the same sites; the
-            # reference resolves them through CrossingProcessor's
-            # vertex-crossing machinery — see polygon_boolean_shared).
+            # Operands sharing exact vertices/edges with each other do
+            # not need this rescue: _kept_subedges classifies exact
+            # shared sub-edges directly (the CrossingProcessor
+            # vertex-crossing analogue), so only T-junction-style
+            # near-incidences reach the snap path.
             from .builder_snap import CellIdSnap, snap_polygon
             snap = CellIdSnap(20)
             return polygon_boolean(snap_polygon(a, snap),
                                    snap_polygon(b, snap), op,
                                    snap_on_failure=False)
     if op == "symmetric_difference":
-        d1 = polygon_boolean(a, b, "difference", snap_on_failure=False)
-        d2 = polygon_boolean(b, a, "difference", snap_on_failure=False)
-        # the two differences are disjoint (boundaries may touch at the
-        # original crossing points only), so the xor model composes them
-        return Polygon([Loop(v.copy()) for p in (d1, d2)
-                        for v in (lp.vertices for lp in p.loops)])
-    la = oriented_boundary_loops(a)
-    lb = oriented_boundary_loops(b)
-    sub_a, sub_b = _split_edges(la, lb)
-    want_a, rev_a, want_b, rev_b = _RULES[op]
-    kept = []
-    for v0, v1 in sub_a:
-        if b.contains_point(_midpoint(v0, v1)) == want_a:
-            kept.append((v1, v0) if rev_a else (v0, v1))
-    for v0, v1 in sub_b:
-        if a.contains_point(_midpoint(v0, v1)) == want_b:
-            kept.append((v1, v0) if rev_b else (v0, v1))
+        # compose at the SUB-EDGE level: kept(A-B) + kept(B-A), then
+        # cancel exact sibling pairs — an edge kept by both legs in
+        # opposite directions (the shared border of adjacent operands)
+        # is interior to the xor and must vanish (the B5 sibling-pair
+        # rule of S2FindPolygonDegeneracies applied at build time)
+        kept = _kept_subedges(a, b, "difference") + \
+            _kept_subedges(b, a, "difference")
+        index: dict[tuple, int] = {}
+        cancelled = [False] * len(kept)
+        for i, (v0, v1) in enumerate(kept):
+            k_rev = (_vkey(v1), _vkey(v0))
+            j = index.pop(k_rev, None)
+            if j is not None:
+                cancelled[i] = cancelled[j] = True
+            else:
+                index[(_vkey(v0), _vkey(v1))] = i
+        kept = [e for i, e in enumerate(kept) if not cancelled[i]]
+    else:
+        kept = _kept_subedges(a, b, op)
     loops = _stitch(kept)
     return Polygon([Loop(v) for v in loops])

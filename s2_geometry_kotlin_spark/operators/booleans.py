@@ -74,6 +74,75 @@ def result_layer(op: str) -> list[tuple[str, int, Polygon]]:
     return out
 
 
+def adjacent_pairs() -> list[tuple[Polygon, Polygon]]:
+    """Operand pairs sharing an EXACT border chain — identical vertex
+    coordinates on both sides, the adjacent-admin-polygons case the
+    reference resolves through CrossingProcessor's vertex-crossing
+    machinery (CrossingProcessor.kt) and this repo resolves through
+    _kept_subedges' shared-edge classification.  Two lat/lng quad pairs
+    split along a meridian chain through a page-dense city center, so
+    the constructed union gets non-trivial driver evidence."""
+    from ..kernel.regions import Loop
+
+    def quad_pair(lat0, latm, lat1, lng0, lngm, lng1):
+        west = Polygon([Loop.from_latlng_text(
+            f"{lat0}:{lng0}, {lat0}:{lngm}, {latm}:{lngm}, "
+            f"{lat1}:{lngm}, {lat1}:{lng0}")])
+        east = Polygon([Loop.from_latlng_text(
+            f"{lat0}:{lngm}, {lat0}:{lng1}, {lat1}:{lng1}, "
+            f"{lat1}:{lngm}, {latm}:{lngm}")])
+        return west, east
+
+    return [
+        # Paris split at its meridian (pages cluster at 48.8566, 2.3522)
+        quad_pair(47.8566, 48.8566, 49.8566, 1.3522, 2.3522, 3.3522),
+        # London split at its meridian (51.5072, -0.1276)
+        quad_pair(50.5072, 51.5072, 52.5072, -1.1276, -0.1276, 0.8724),
+    ]
+
+
+def adjacent_layer() -> list[tuple[str, int, Polygon]]:
+    """Adjacent operands flattened for the oracle's pipjoin (ids 2k/2k+1
+    like operand_layer)."""
+    out = []
+    for k, (a, b) in enumerate(adjacent_pairs()):
+        out.append(("adjop", 2 * k, a))
+        out.append(("adjop", 2 * k + 1, b))
+    return out
+
+
+def adjacent_union_layer() -> list[tuple[str, int, Polygon]]:
+    """The CONSTRUCTED union of each adjacent pair — built through the
+    shared-boundary path (the border chain must vanish into a single
+    outer ring)."""
+    cached = _RESULT_CACHE.get("adjacent_union")
+    if cached is not None:
+        return cached
+    out = []
+    for k, (a, b) in enumerate(adjacent_pairs()):
+        res = polygon_boolean(a, b, "union")
+        if len(res.loops) != 1:
+            raise ValueError(
+                f"adjacent union pair {k}: expected a single merged "
+                f"ring, got {len(res.loops)} loops — shared-border "
+                "classification failed")
+        out.append(("adj_union", k, res))
+    _RESULT_CACHE["adjacent_union"] = out
+    return out
+
+
+def pages_in_adjacent_union(pages: DataFrame,
+                            spark: SparkSession) -> DataFrame:
+    """(url, pair_id) for pages inside the constructed union of each
+    adjacent (exact-shared-border) operand pair; same broadcast
+    covering-prejoin + PIP path as every layer join."""
+    from .spatial_join import spatial_join
+    joined = spatial_join(pages, spark, adjacent_union_layer(),
+                          strategy="broadcast")
+    return joined.select("url",
+                         F.col("polygon_id").cast("long").alias("pair_id"))
+
+
 def pages_in_boolean(pages: DataFrame, spark: SparkSession,
                      op: str) -> DataFrame:
     """(url, pair_id) for pages contained in A op B, per operand pair —

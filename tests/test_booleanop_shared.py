@@ -1,0 +1,184 @@
+"""B3 shared-boundary operands: boolean ops on polygons that share
+exact vertices / border chains (the adjacent-admin-polygons case).
+
+Reference semantics: S2BooleanOperation with PolygonModel.SEMI_OPEN
+(S2BooleanOperation.kt:287) resolved through CrossingProcessor's
+degenerate-edge accounting; this repo's independent construction
+classifies exact shared sub-edges directly (kernel/booleanop.py
+_kept_subedges + the clockwise stitch junction rule).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from s2_geometry_kotlin_spark.kernel import measures
+from s2_geometry_kotlin_spark.kernel.booleanop import polygon_boolean
+from s2_geometry_kotlin_spark.kernel.polygon_relations import loop_depths
+from s2_geometry_kotlin_spark.kernel.regions import Loop, Polygon
+
+
+def polygon_area(p: Polygon) -> float:
+    tot = 0.0
+    for lp, d in zip(p.loops, loop_depths(p)):
+        a = measures.loop_area(lp.vertices)
+        tot += a if d % 2 == 0 else -a
+    return tot
+
+
+def quad(lat0, lat1, lng0, lng1, mid_lat=None, shared_side=None):
+    """Lat/lng quad, CCW (interior on left).  With mid_lat+shared_side
+    ('east'/'west'), an extra vertex splits that meridian side so two
+    adjacent quads carry an identical multi-edge border chain."""
+    pts = [(lat0, lng0), (lat0, lng1), (lat1, lng1), (lat1, lng0)]
+    if shared_side == "east":
+        pts = [(lat0, lng0), (lat0, lng1), (mid_lat, lng1),
+               (lat1, lng1), (lat1, lng0)]
+    elif shared_side == "west":
+        pts = [(lat0, lng0), (lat0, lng1), (lat1, lng1),
+               (lat1, lng0), (mid_lat, lng0)]
+    txt = ", ".join(f"{la}:{lo}" for la, lo in pts)
+    return Polygon([Loop.from_latlng_text(txt)])
+
+
+def pt(lat, lng):
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lng]))
+    return np.array([x[0], y[0], z[0]])
+
+
+# West quad [0,10]x[0,10] and east quad [0,10]x[10,20] share the
+# meridian chain lng=10 with an interior vertex at lat=5 — the chain
+# appears with IDENTICAL coordinates (same lat/lng text) in both.
+W = quad(0, 10, 0, 10, mid_lat=5, shared_side="east")
+E = quad(0, 10, 10, 20, mid_lat=5, shared_side="west")
+
+PROBES = [(5, 5), (2, 3), (8, 7),        # inside W only
+          (5, 15), (2, 13), (8, 17),     # inside E only
+          (5, 25), (-3, 5), (13, 15)]    # outside both
+
+
+def _member(poly, probes=PROBES):
+    return [poly.contains_point(pt(la, lo)) for la, lo in probes]
+
+
+def test_adjacent_union_merges_border():
+    u = polygon_boolean(W, E, "union")
+    assert len(u.loops) == 1
+    # membership = OR of operands at every probe
+    got = _member(u)
+    exp = [a or b for a, b in zip(_member(W), _member(E))]
+    assert got == exp
+    # area additivity (disjoint interiors)
+    assert math.isclose(polygon_area(u), polygon_area(W) + polygon_area(E),
+                        rel_tol=1e-12)
+    # the shared chain is gone: no union vertex at the interior chain
+    # vertex (5, 10) — junction endpoints (0,10)/(10,10) may remain
+    mid = pt(5, 10)
+    for lp in u.loops:
+        assert not any(np.array_equal(v, mid) for v in lp.vertices)
+
+
+def test_adjacent_intersection_is_empty():
+    i = polygon_boolean(W, E, "intersection")
+    assert len(i.loops) == 0  # SEMI_OPEN: touching boundary -> empty
+
+
+def test_adjacent_differences_return_operands():
+    d1 = polygon_boolean(W, E, "difference")
+    d2 = polygon_boolean(E, W, "difference")
+    assert math.isclose(polygon_area(d1), polygon_area(W), rel_tol=1e-12)
+    assert math.isclose(polygon_area(d2), polygon_area(E), rel_tol=1e-12)
+    assert _member(d1) == _member(W)
+    assert _member(d2) == _member(E)
+
+
+def test_adjacent_symmetric_difference_is_union():
+    x = polygon_boolean(W, E, "symmetric_difference")
+    exp = [a != b for a, b in zip(_member(W), _member(E))]
+    assert _member(x) == exp
+    assert math.isclose(polygon_area(x), polygon_area(W) + polygon_area(E),
+                        rel_tol=1e-12)
+
+
+def test_identical_operands():
+    a = quad(20, 30, 40, 50)
+    b = quad(20, 30, 40, 50)  # same text -> identical coordinates
+    u = polygon_boolean(a, b, "union")
+    i = polygon_boolean(a, b, "intersection")
+    d = polygon_boolean(a, b, "difference")
+    x = polygon_boolean(a, b, "symmetric_difference")
+    assert math.isclose(polygon_area(u), polygon_area(a), rel_tol=1e-12)
+    assert math.isclose(polygon_area(i), polygon_area(a), rel_tol=1e-12)
+    assert len(d.loops) == 0
+    assert len(x.loops) == 0
+    probes = [(25, 45), (21, 41), (35, 45), (25, 55)]
+    assert _member(u, probes) == _member(a, probes)
+    assert _member(i, probes) == _member(a, probes)
+
+
+def test_contained_operand_sharing_border_chain():
+    """B = [0,10]x[0,20] split internally: A = its west half (shares
+    B's west/south/north-west border? no — shares only the part of B's
+    boundary on the west rectangle's outer sides).  B - A must equal
+    the east half."""
+    big = quad(0, 10, 0, 20)
+    west = quad(0, 10, 0, 10)
+    # shared features here: corner vertices (0,0),(10,0) and the south/
+    # west/north boundary SEGMENTS differ in vertex placement (big's
+    # south edge spans 0..20 in one edge, west's in two) -> that's a
+    # T-junction, out of scope.  Instead share exactly: build big as
+    # explicit two-half outline so every shared edge matches 1:1.
+    big = Polygon([Loop.from_latlng_text(
+        "0:0, 0:10, 0:20, 10:20, 10:10, 10:0")])
+    east = Polygon([Loop.from_latlng_text(
+        "0:10, 0:20, 10:20, 10:10")])
+    d = polygon_boolean(big, west, "difference")
+    assert math.isclose(polygon_area(d), polygon_area(east), rel_tol=1e-12)
+    probes = [(5, 5), (5, 15), (5, 25), (-3, 5)]
+    assert _member(d, probes) == _member(east, probes)
+    # and west ∪ east reassembles big
+    u = polygon_boolean(west, east, "union")
+    assert math.isclose(polygon_area(u), polygon_area(big), rel_tol=1e-12)
+
+
+def test_vertex_touching_union_two_loops():
+    """Two quads sharing exactly ONE vertex (pinch point): the union
+    keeps both rings; the clockwise stitch rule must produce two simple
+    loops touching at the vertex, not one self-crossing loop."""
+    a = Polygon([Loop.from_latlng_text("-10:-10, 0:0, -10:10")])
+    b = Polygon([Loop.from_latlng_text("10:10, 0:0, 10:-10")])
+    # triangles touching at (0,0); orientation: a below, CCW?
+    # a: (-10,-10) -> (0,0) -> (-10,10): interior must be the southern
+    # triangle; verify membership instead of assuming orientation
+    pa, pb = pt(-8, 0), pt(8, 0)
+    if not a.contains_point(pa):
+        a = Polygon([Loop.from_latlng_text("-10:10, 0:0, -10:-10")])
+    if not b.contains_point(pb):
+        b = Polygon([Loop.from_latlng_text("10:-10, 0:0, 10:10")])
+    assert a.contains_point(pa) and b.contains_point(pb)
+    u = polygon_boolean(a, b, "union")
+    assert len(u.loops) == 2
+    assert u.contains_point(pa) and u.contains_point(pb)
+    assert not u.contains_point(pt(0, 8))
+    assert math.isclose(polygon_area(u), polygon_area(a) + polygon_area(b),
+                        rel_tol=1e-12)
+    i = polygon_boolean(a, b, "intersection")
+    assert len(i.loops) == 0
+
+
+def test_adjacent_fixture_layer_builds():
+    """The driver fixture: both adjacent pairs union into single rings
+    and contain their city centers."""
+    from s2_geometry_kotlin_spark.operators.booleans import (
+        adjacent_pairs, adjacent_union_layer)
+    layer = adjacent_union_layer()
+    assert len(layer) == len(adjacent_pairs()) == 2
+    centers = [(48.8566, 2.3522), (51.5072, -0.1276)]
+    for (name, k, poly), (la, lo) in zip(layer, centers):
+        assert name == "adj_union"
+        assert len(poly.loops) == 1
+        # center sits ON the former shared chain -> probe just off it
+        assert poly.contains_point(pt(la, lo + 0.01))
+        assert poly.contains_point(pt(la, lo - 0.01))
