@@ -48,6 +48,7 @@ violating this should be snapped first (snap_polygon).
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -373,3 +374,106 @@ def polygon_boolean(a: Polygon, b: Polygon, op: str,
         kept = _kept_subedges(a, b, op)
     loops = _stitch(kept)
     return Polygon([Loop(v) for v in loops])
+
+
+# ---------------------------------------------------------------------------
+# B3 polygon boundary models (PolygonModel OPEN / SEMI_OPEN / CLOSED)
+# ---------------------------------------------------------------------------
+
+POLYGON_MODELS = ("OPEN", "SEMI_OPEN", "CLOSED")
+
+
+@dataclass
+class BooleanResult:
+    """Result of a boolean op under an explicit PolygonModel
+    (S2BooleanOperation.kt:114-130 model definitions; :287 SEMI_OPEN
+    default).  The solid rings are MODEL-INDEPENDENT for polygon/polygon
+    ops — the models determine which measure-zero DEGENERATE features
+    the touching boundaries produce, which the reference emits as
+    degenerate edges/points for the output layers to keep or discard
+    ("the client can easily discard degeneracies", :94-95).  This repo's
+    Polygon cannot carry degenerate edges (like S2Polygon, unlike
+    S2LaxPolygonShape), so they are returned explicitly:
+
+    - degenerate_edge_shells: isolated edges belonging to the result
+      (CLOSED intersection of polygons touching along an edge — "the
+      only model where polygons that touch at a vertex or along an edge
+      intersect", :126-127).
+    - degenerate_edge_holes: slit edges EXCLUDED from the otherwise
+      solid result (OPEN union / OPEN+CLOSED symmetric difference of
+      adjacent polygons: the shared border belongs to neither open
+      operand, resp. to both closed ones, so the point set omits it).
+    - degenerate_point_shells / _holes: the vertex-touch analogues.
+    """
+    polygon: Polygon
+    degenerate_edge_shells: list = field(default_factory=list)
+    degenerate_edge_holes: list = field(default_factory=list)
+    degenerate_point_shells: list = field(default_factory=list)
+    degenerate_point_holes: list = field(default_factory=list)
+
+
+def polygon_boolean_full(a: Polygon, b: Polygon, op: str,
+                         model: str = "SEMI_OPEN",
+                         snap_on_failure: bool = True) -> BooleanResult:
+    """polygon_boolean plus the PolygonModel-dependent degeneracies.
+
+    SEMI_OPEN (the reference default) emits none: around any vertex /
+    along any edge shared by tiling polygons, exactly one operand
+    contains it (S2BooleanOperation.kt:119-123), so touching boundaries
+    produce no measure-zero features.  OPEN and CLOSED do — see
+    BooleanResult."""
+    if model not in POLYGON_MODELS:
+        raise ValueError(f"model must be one of {POLYGON_MODELS}")
+    poly = polygon_boolean(a, b, op, snap_on_failure=snap_on_failure)
+    res = BooleanResult(poly)
+    if model == "SEMI_OPEN":
+        return res
+    la = oriented_boundary_loops(a)
+    lb = oriented_boundary_loops(b)
+    sub_a, sub_b = _split_edges(la, lb)
+    shared_a, _ = _match_shared(sub_a, sub_b)
+    # shared sub-edges with the operand interiors on OPPOSITE sides
+    # (the adjacent-border case); same-direction shared edges are
+    # regular boundary in every model
+    opp = [sub_a[i] for i, same in shared_a.items() if not same]
+    if op == "intersection" and model == "CLOSED":
+        res.degenerate_edge_shells = opp
+    elif op == "union" and model == "OPEN":
+        res.degenerate_edge_holes = opp
+    elif op == "symmetric_difference":  # both OPEN and CLOSED slit it
+        res.degenerate_edge_holes = opp
+    # difference: the shared border lies on the result's regular rings
+    # (or nowhere); its membership is the OUTPUT polygon's own boundary
+    # interpretation, not an extra degeneracy — no emission.
+
+    # shared vertices not already covered by a degenerate edge or lying
+    # on a result ring exactly once (regular boundary vertex)
+    averts = {}
+    for lv in la:
+        for v in lv:
+            averts.setdefault(_vkey(v), v)
+    bkeys = {_vkey(v) for lv in lb for v in lv}
+    deg_edge_keys = {k for e in (res.degenerate_edge_shells +
+                                 res.degenerate_edge_holes)
+                     for k in (_vkey(e[0]), _vkey(e[1]))}
+    ring_counts: dict[tuple, int] = {}
+    for lp in poly.loops:
+        for v in lp.vertices:
+            k = _vkey(v)
+            ring_counts[k] = ring_counts.get(k, 0) + 1
+    for k, v in averts.items():
+        if k not in bkeys or k in deg_edge_keys:
+            continue
+        cnt = ring_counts.get(k, 0)
+        if op == "intersection" and model == "CLOSED":
+            # isolated vertex touch: in both closed operands, but not in
+            # (or on) the solid intersection
+            if cnt == 0 and not poly.contains_point(v):
+                res.degenerate_point_shells.append(v)
+        elif ((op == "union" and model == "OPEN")
+              or op == "symmetric_difference"):
+            # pinch vertex: the solid result passes through it >= twice;
+            # OPEN: in neither open operand; xor CLOSED: in both
+            if cnt >= 2:
+                res.degenerate_point_holes.append(v)
+    return res

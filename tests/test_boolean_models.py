@@ -1,0 +1,126 @@
+"""B3 PolygonModel matrix: OPEN / SEMI_OPEN / CLOSED on touching
+boundaries (S2BooleanOperation.kt:114-130; SEMI_OPEN default :287).
+
+The solid rings are model-independent; the models decide which
+degenerate features the touching boundaries produce:
+- CLOSED is "the only model where polygons that touch at a vertex or
+  along an edge intersect" (S2BooleanOperation.kt:126-127) -> the
+  CLOSED intersection of adjacent polygons is their shared border
+  (degenerate edge shells), of vertex-touching polygons the shared
+  vertex (degenerate point shell).
+- OPEN polygons contain neither vertices nor edges -> the OPEN union
+  of adjacent polygons omits the shared border (degenerate edge holes,
+  a slit), of vertex-touching polygons the pinch vertex (point hole).
+- The symmetric difference slits the shared border in BOTH non-default
+  models (OPEN: in neither operand; CLOSED: in both), and only
+  SEMI_OPEN's exactly-one-owner rule keeps it solid.
+"""
+
+import numpy as np
+
+from s2_geometry_kotlin_spark.kernel.booleanop import (
+    BooleanResult, polygon_boolean, polygon_boolean_full)
+from s2_geometry_kotlin_spark.kernel.regions import Loop, Polygon
+
+from .test_booleanop_shared import E, W, polygon_area, pt
+
+
+def _counts(r: BooleanResult):
+    return (len(r.degenerate_edge_shells), len(r.degenerate_edge_holes),
+            len(r.degenerate_point_shells), len(r.degenerate_point_holes))
+
+
+def test_rings_model_independent():
+    for op in ("intersection", "union", "difference",
+               "symmetric_difference"):
+        base = polygon_boolean(W, E, op)
+        for model in ("OPEN", "SEMI_OPEN", "CLOSED"):
+            r = polygon_boolean_full(W, E, op, model=model)
+            assert len(r.polygon.loops) == len(base.loops)
+            assert np.isclose(polygon_area(r.polygon), polygon_area(base))
+
+
+def test_semi_open_emits_no_degeneracies():
+    for op in ("intersection", "union", "difference",
+               "symmetric_difference"):
+        r = polygon_boolean_full(W, E, op, model="SEMI_OPEN")
+        assert _counts(r) == (0, 0, 0, 0)
+
+
+def test_closed_intersection_of_adjacent_is_shared_border():
+    r = polygon_boolean_full(W, E, "intersection", model="CLOSED")
+    # W/E share the 2-edge meridian chain lng=10 (interior vertex lat=5)
+    assert len(r.polygon.loops) == 0
+    assert _counts(r) == (2, 0, 0, 0)
+    # OPEN intersection stays fully empty
+    r = polygon_boolean_full(W, E, "intersection", model="OPEN")
+    assert len(r.polygon.loops) == 0
+    assert _counts(r) == (0, 0, 0, 0)
+
+
+def test_open_union_of_adjacent_slits_shared_border():
+    r = polygon_boolean_full(W, E, "union", model="OPEN")
+    assert len(r.polygon.loops) == 1
+    assert _counts(r) == (0, 2, 0, 0)
+    # CLOSED union is solid
+    r = polygon_boolean_full(W, E, "union", model="CLOSED")
+    assert _counts(r) == (0, 0, 0, 0)
+
+
+def test_sym_difference_slits_in_both_non_default_models():
+    for model in ("OPEN", "CLOSED"):
+        r = polygon_boolean_full(W, E, "symmetric_difference", model=model)
+        assert len(r.polygon.loops) == 1
+        assert _counts(r) == (0, 2, 0, 0)
+
+
+def test_difference_never_emits_degeneracies():
+    for model in ("OPEN", "SEMI_OPEN", "CLOSED"):
+        r = polygon_boolean_full(W, E, "difference", model=model)
+        assert _counts(r) == (0, 0, 0, 0)
+        assert np.isclose(polygon_area(r.polygon), polygon_area(W))
+
+
+def _touching_triangles():
+    a = Polygon([Loop.from_latlng_text("-10:-10, 0:0, -10:10")])
+    b = Polygon([Loop.from_latlng_text("10:10, 0:0, 10:-10")])
+    if not a.contains_point(pt(-8, 0)):
+        a = Polygon([Loop.from_latlng_text("-10:10, 0:0, -10:-10")])
+    if not b.contains_point(pt(8, 0)):
+        b = Polygon([Loop.from_latlng_text("10:-10, 0:0, 10:10")])
+    return a, b
+
+
+def test_closed_intersection_of_vertex_touch_is_the_point():
+    a, b = _touching_triangles()
+    r = polygon_boolean_full(a, b, "intersection", model="CLOSED")
+    assert len(r.polygon.loops) == 0
+    assert _counts(r) == (0, 0, 1, 0)
+    assert np.allclose(r.degenerate_point_shells[0], pt(0, 0))
+    for model in ("OPEN", "SEMI_OPEN"):
+        r = polygon_boolean_full(a, b, "intersection", model=model)
+        assert _counts(r) == (0, 0, 0, 0)
+
+
+def test_open_union_of_vertex_touch_pinches_out_the_point():
+    a, b = _touching_triangles()
+    r = polygon_boolean_full(a, b, "union", model="OPEN")
+    assert len(r.polygon.loops) == 2
+    assert _counts(r) == (0, 0, 0, 1)
+    assert np.allclose(r.degenerate_point_holes[0], pt(0, 0))
+    for model in ("SEMI_OPEN", "CLOSED"):
+        r = polygon_boolean_full(a, b, "union", model=model)
+        assert _counts(r) == (0, 0, 0, 0)
+
+
+def test_identical_operands_matrix():
+    q = Polygon([Loop.from_latlng_text("20:40, 20:50, 30:50, 30:40")])
+    q2 = Polygon([Loop.from_latlng_text("20:40, 20:50, 30:50, 30:40")])
+    for op, nloops in [("intersection", 1), ("union", 1),
+                       ("difference", 0), ("symmetric_difference", 0)]:
+        for model in ("OPEN", "SEMI_OPEN", "CLOSED"):
+            r = polygon_boolean_full(q, q2, op, model=model)
+            assert len(r.polygon.loops) == nloops, (op, model)
+            # stacked same-direction boundaries are regular in every
+            # model: no degeneracies anywhere in this matrix
+            assert _counts(r) == (0, 0, 0, 0), (op, model)
