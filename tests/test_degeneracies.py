@@ -68,3 +68,103 @@ def test_unbalanced_multiset_pairs_minimum():
     edges = SQ_EDGES + [(4, 5), (4, 5), (4, 5), (5, 4)]
     got = mark_degeneracies(edges)
     assert got == [False] * 4 + [True, False, False, True]
+
+# ---------------------------------------------------------------------------
+# Reference parity: S2FindPolygonDegeneraciesUnitTest.kt fixtures,
+# including the UNBALANCED attached-sibling-pair graphs the previous
+# scoped version documented out (contains-vertex-sign path :309-371).
+# ---------------------------------------------------------------------------
+
+def _graph(loops_txt: str):
+    """'lat:lng, lat:lng; ...' -> (vertices, edges) with exact-shared
+    vertices deduplicated (the unit-test graphs attach spikes at loop
+    vertices).  A single-vertex loop contributes a self edge."""
+    vids: dict[tuple, int] = {}
+    verts: list[tuple] = []
+    edges: list[tuple[int, int]] = []
+    for loop_txt in loops_txt.split(";"):
+        loop_txt = loop_txt.strip()
+        if not loop_txt:
+            continue
+        ids = []
+        for tok in loop_txt.split(","):
+            lat, lng = (float(t) for t in tok.strip().split(":"))
+            key = (lat, lng)
+            if key not in vids:
+                vids[key] = len(verts)
+                verts.append(key)
+            ids.append(vids[key])
+        if len(ids) == 1:
+            edges.append((ids[0], ids[0]))
+        else:
+            edges.extend((ids[i], ids[(i + 1) % len(ids)])
+                         for i in range(len(ids)))
+    return _pts(verts), edges
+
+
+def _expect(loops_txt: str, expected: dict[tuple[int, int], bool],
+            is_full: bool = False):
+    verts, edges = _graph(loops_txt)
+    got = find_polygon_degeneracies(verts, edges,
+                                    is_full_if_degenerate=is_full)
+    got_map = {edges[d.edge_id]: d.is_hole for d in got}
+    assert got_map == expected, (got_map, expected)
+    assert len(got) == len(expected)
+
+
+def test_ref_empty_and_no_degeneracies():
+    _expect("", {})
+    _expect("0:0, 0:1, 1:0", {})
+
+
+def test_ref_point_shell():
+    verts, edges = _graph("0:0")
+    got = find_polygon_degeneracies(verts, edges)
+    assert got == [PolygonDegeneracy(0, False)]
+
+
+def test_ref_sibling_pair_shells_fully_degenerate():
+    # two reversed triangles: every edge has its sibling -> fully
+    # degenerate graph, classified by is_full_if_degenerate
+    verts, edges = _graph("0:0, 0:1, 1:0; 1:0, 0:1, 0:0")
+    got = find_polygon_degeneracies(verts, edges)
+    assert len(got) == 6 and all(not d.is_hole for d in got)
+
+
+def test_ref_attached_sibling_pair_shells_unbalanced():
+    # triangle + spike attached at a triangle vertex, pointing OUTSIDE:
+    # the non-degenerate remainder (triangle) is balanced but the graph
+    # as a whole routes classification through the unbalanced-vertex
+    # contains-vertex-sign path
+    _expect("0:0, 0:1, 1:0; 1:0, 2:0",
+            {(2, 3): False, (3, 2): False})
+
+
+def test_ref_attached_sibling_pair_holes_unbalanced():
+    # spike attached at a vertex, pointing INSIDE the triangle
+    _expect("0:0, 0:3, 3:0; 0:0, 1:1",
+            {(0, 3): True, (3, 0): True})
+
+
+def test_ref_attached_shells_and_holes_mixed():
+    _expect("0:0, 0:3, 3:0; 3:0, 1:1; 3:0, 5:5",
+            {(2, 3): True, (3, 2): True, (2, 4): False, (4, 2): False})
+
+
+def test_ref_degenerate_shells_outside_loop():
+    _expect("0:0, 0:3, 3:3, 3:0; 4:4, 5:5; 6:6",
+            {(4, 5): False, (5, 4): False, (6, 6): False})
+
+
+def test_ref_degenerate_holes_within_loop():
+    _expect("0:0, 0:5, 5:5, 5:0; 1:1, 2:2; 3:3",
+            {(4, 5): True, (5, 4): True, (6, 6): True})
+
+
+def test_ref_holes_within_full():
+    # 'full' polygon contributes no edges; the rest is fully degenerate
+    _expect("0:0", {(0, 0): True}, is_full=True)
+    verts, edges = _graph("0:0, 0:1, 1:0; 1:0, 0:1, 0:0")
+    got = find_polygon_degeneracies(verts, edges,
+                                    is_full_if_degenerate=True)
+    assert len(got) == 6 and all(d.is_hole for d in got)
