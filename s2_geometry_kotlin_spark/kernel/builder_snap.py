@@ -15,12 +15,12 @@ chaining, scoped to what layer ingestion needs:
    reference's S2PointIndex — layers are driver-sized by design, the
    100-TB side of every query is the pages table);
 2. edge snapping: each input edge (x, y) maps to the chain of sites
-   within edge_snap_radius of the edge, ordered by their projection
-   along it (S2Builder.snapEdge's site-visit order), starting at
-   site(x) and ending at site(y).  The reference's Voronoi-exclusion
-   refinements (getVoronoiSiteExclusion / edgeCircumcenterSign,
-   S2Builder.kt:1438-1476) only REMOVE redundant chain sites; omitting
-   them can keep an extra near-edge site in the chain, never lose one;
+   within edge_snap_radius of the edge, visited in increasing distance
+   from x and pruned with the reference's Voronoi-exclusion
+   refinements (getVoronoiSiteExclusion coverage-interval containment
+   and the edgeCircumcenterSign joint test, S2Builder.kt:1438-1476),
+   so redundant near-edge sites are removed exactly as the reference
+   removes them;
 3. degeneracy cleanup on reassembled loops: consecutive duplicate sites
    collapse, sibling-pair spikes (…a, b, a…) are discarded to a fixed
    point (the graph-layer DegenerateEdges.DISCARD behavior polygons
@@ -38,6 +38,7 @@ import numpy as np
 
 from . import cellid as ck
 from . import metrics
+from . import predicates as pred
 from .edges import point_edge_chord2_pairwise
 from .regions import Loop, Polygon
 
@@ -188,43 +189,148 @@ def _nearest_site(p: np.ndarray, sites: np.ndarray) -> int:
     return int(d2.argmin())
 
 
+def _coverage_interval(s: np.ndarray, x: np.ndarray, y: np.ndarray,
+                       cos_r: float, theta: float, sin_theta: float,
+                       cos_theta: float):
+    """Segment [t0, t1] of the edge parameter t in [0, theta] where the
+    geodesic point gamma(t) lies within the snap radius of site s (the
+    "coverage interval" of S2Builder.kt:1432-1437), or None if empty.
+
+    gamma(t) = (sin(theta-t) x + sin(t) y) / sin(theta), so
+    s . gamma(t) = R cos(t - psi) / sin(theta)."""
+    a = float(s @ x)
+    b = float(s @ y)
+    p = a * sin_theta
+    q = b - a * cos_theta
+    rr = math.hypot(p, q)
+    if rr == 0.0:
+        return None
+    psi = math.atan2(q, p)
+    arg = cos_r * sin_theta / rr
+    if arg > 1.0:
+        return None
+    delta = math.acos(max(-1.0, arg))
+    lo = max(0.0, psi - delta)
+    hi = min(theta, psi + delta)
+    if lo > hi:
+        return None
+    return lo, hi
+
+
+def _dominated(cov, winner: np.ndarray, loser: np.ndarray,
+               x: np.ndarray, y: np.ndarray, theta: float,
+               sin_theta: float, cos_theta: float) -> bool:
+    """True if `winner` is strictly closer than `loser` to EVERY edge
+    point gamma(t), t in cov.  gamma(t) . (winner - loser) > 0 is again
+    an R cos(t - psi) form, positive exactly on (psi-pi/2, psi+pi/2)."""
+    if cov is None:
+        return True
+    d = winner - loser
+    a_ = float(d @ x)
+    b_ = float(d @ y)
+    p = a_ * sin_theta
+    q = b_ - a_ * cos_theta
+    rr = math.hypot(p, q)
+    if rr == 0.0:
+        return False  # equidistant along the whole edge: no dominance
+    psi = math.atan2(q, p)
+    half = 0.5 * math.pi
+    return psi - half < cov[0] and cov[1] < psi + half
+
+
+def _voronoi_exclusion(b: np.ndarray, c: np.ndarray, x: np.ndarray,
+                       y: np.ndarray, cos_r: float, theta: float,
+                       sin_theta: float, cos_theta: float) -> int:
+    """S2Predicates.getVoronoiSiteExclusion semantics (numeric form,
+    :652-682): a site is excluded iff its Voronoi region clipped to a
+    disc of the snap radius has empty intersection with edge XY — i.e.
+    the OTHER site is closer to every edge point within the snap radius
+    of it.  Returns 1 if b is excluded by c, 2 if c is excluded by b,
+    0 if neither (both cannot be excluded, :662-666)."""
+    ib = _coverage_interval(b, x, y, cos_r, theta, sin_theta, cos_theta)
+    ic = _coverage_interval(c, x, y, cos_r, theta, sin_theta, cos_theta)
+    if _dominated(ib, c, b, x, y, theta, sin_theta, cos_theta):
+        return 1
+    if _dominated(ic, b, c, x, y, theta, sin_theta, cos_theta):
+        return 2
+    return 0
+
+
+def _edge_circumcenter_sign(x: np.ndarray, y: np.ndarray, a: np.ndarray,
+                            b: np.ndarray, c: np.ndarray) -> int:
+    """Which side of edge XY the circumcenter of triangle ABC lies on
+    (S2Predicates.edgeCircumcenterSign:622-650, triage formula
+    :1203-1226: sign(ABC) * (x cross y) . ((b-a) cross (c-a)))."""
+    abc = pred.sign(a, b, c)
+    z = np.cross(b - a, c - a)
+    val = abc * float(np.cross(x, y) @ z)
+    return 1 if val > 0 else (-1 if val < 0 else 0)
+
+
 def snap_edge(x: np.ndarray, y: np.ndarray, sites: np.ndarray,
               snap: SnapFunction) -> list[int]:
     """Site chain for input edge (x, y) — S2Builder.snapEdge
-    (:1390-1492) without the Voronoi-exclusion chain pruning: every
-    site within edge_snap_radius of the edge, ordered by projection
-    along it, anchored at the endpoint sites."""
+    (:1390-1492) including the Voronoi-exclusion chain pruning:
+    candidates (sites within edge_snap_radius of the edge) are visited
+    in increasing distance from X (sortSitesByDistance, :1191-1194,
+    applied at :1316), and each new site C prunes trailing chain sites
+    whose clipped Voronoi regions it excludes — directly
+    (getVoronoiSiteExclusion coverage-interval containment) or jointly
+    with the second-to-last site via the circumcenter test
+    (:1452-1476)."""
     first = _nearest_site(x, sites)
     last = _nearest_site(y, sites)
     if first == last:
         return [first]
-    r2 = _chord2(snap.edge_snap_radius())
+    r_edge = snap.edge_snap_radius()
+    r2 = _chord2(r_edge)
     xs = np.broadcast_to(x, sites.shape)
     ys = np.broadcast_to(y, sites.shape)
     d2 = point_edge_chord2_pairwise(sites, xs, ys)
-    near = np.flatnonzero(d2 <= r2)
-    # order by PROJECTION along the edge (angle from x of each site's
-    # closest point on the edge — NOT distance from x, which reorders
-    # sites with different perpendicular offsets and can zig-zag the
-    # chain); endpoint sites anchor the chain even if they sit just
-    # outside the radius (possible when a vertex snapped a full
-    # snap_radius away)
-    from .edges import project_to_edge
-    chain_ids = sorted(set(near.tolist()) | {first, last})
-    pts = sites[chain_ids]
-    feet = project_to_edge(pts, np.broadcast_to(x, pts.shape),
-                           np.broadcast_to(y, pts.shape))
-    t = np.arccos(np.clip(feet @ x, -1.0, 1.0))
-
-    def park(k: int) -> float:
-        i = chain_ids[k]
-        if i == first:
-            return -1.0
-        if i == last:
-            return 4.0  # > pi: always sorts after interior sites
-        return float(t[k])
-    order = sorted(range(len(chain_ids)), key=park)
-    return [chain_ids[k] for k in order]
+    near = set(np.flatnonzero(d2 <= r2).tolist()) | {first, last}
+    # visit order: increasing distance from X
+    cand = sorted(near,
+                  key=lambda i: float(2.0 - 2.0 * (sites[i] @ x)))
+    cos_r = math.cos(min(r_edge, math.pi))
+    theta = math.acos(max(-1.0, min(1.0, float(x @ y))))
+    sin_theta, cos_theta = math.sin(theta), math.cos(theta)
+    max_adj2 = _chord2(min(math.pi, 2.0 * r_edge))
+    chain: list[int] = []
+    for c_id in cand:
+        c = sites[c_id]
+        add_c = True
+        while chain:
+            b = sites[chain[-1]]
+            bc2 = max(0.0, 2.0 - 2.0 * float(b @ c))
+            if bc2 >= max_adj2:
+                break  # clipped Voronoi regions cannot interact
+            res = _voronoi_exclusion(b, c, x, y, cos_r, theta,
+                                     sin_theta, cos_theta)
+            if res == 1:
+                chain.pop()  # B excluded by C; retry previous site
+                continue
+            if res == 2:
+                add_c = False  # C excluded by B
+                break
+            if len(chain) < 2:
+                break
+            a = sites[chain[-2]]
+            ac2 = max(0.0, 2.0 - 2.0 * float(a @ c))
+            if ac2 >= max_adj2:
+                break
+            # if the circumcenter of ABC lies on the opposite side of
+            # XY from B, then B is excluded by A and C combined
+            xyb = pred.sign(x, y, b)
+            if pred.sign(a, b, c) == xyb:
+                break  # circumcenter on B's side but further away
+            if _edge_circumcenter_sign(x, y, a, b, c) != xyb:
+                break
+            chain.pop()
+        if add_c:
+            chain.append(c_id)
+    if not chain:
+        raise ValueError("snap_edge produced an empty chain")
+    return chain
 
 
 def _drop_degeneracies(chain: list[int]) -> list[int]:
@@ -271,8 +377,12 @@ def snap_loops(loops: list[np.ndarray],
         n = len(lv)
         for i in range(n):
             seg = snap_edge(lv[i], lv[(i + 1) % n], sites, snap)
-            # each edge chain starts where the previous ended
-            chain.extend(seg if not chain else seg[1:])
+            # each edge chain starts where the previous ended (the
+            # snapEdge endpoint invariant); keep the full segment if a
+            # pruning edge case ever breaks it rather than losing a site
+            if chain and seg and seg[0] == chain[-1]:
+                seg = seg[1:]
+            chain.extend(seg)
         if chain and chain[0] == chain[-1]:
             chain = chain[:-1]
         chain = _drop_degeneracies(chain)

@@ -145,3 +145,42 @@ def test_shared_jittered_boundary_merges_for_boolean_prep():
                            _cell_centers(_latlng_ring(shared), 14)))
     assert shared_sites <= set(map(tuple, got))
     assert shared_sites <= east_set
+
+
+def test_voronoi_exclusion_prunes_redundant_chain_site():
+    """S2Builder.kt:1438-1476 chain pruning: a site whose coverage
+    interval on the edge is CONTAINED in a nearer site's interval is
+    excluded from the chain (the pre-round-4 code kept it, producing a
+    correct-but-not-reference-identical chain)."""
+    import math
+
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel.builder_snap import (
+        IdentitySnap, _coverage_interval, snap_edge)
+
+    def pt(lat, lon):
+        x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lon]))
+        return np.array([x[0], y[0], z[0]])
+
+    snap = IdentitySnap(math.radians(0.3))
+    x, y = pt(0, 0), pt(0, 1)
+    b = pt(0.05, 0.5)    # near the edge: wide coverage interval
+    c = pt(0.28, 0.52)   # deep offset: narrow interval inside b's
+    sites = np.stack([x, b, c, y])
+    theta = math.acos(float(x @ y))
+    cos_r = math.cos(snap.edge_snap_radius())
+    cov_b = _coverage_interval(b, x, y, cos_r, theta, math.sin(theta),
+                               math.cos(theta))
+    cov_c = _coverage_interval(c, x, y, cos_r, theta, math.sin(theta),
+                               math.cos(theta))
+    assert cov_b[0] < cov_c[0] and cov_c[1] < cov_b[1]  # contained
+    chain = snap_edge(x, y, sites, snap)
+    assert chain == [0, 1, 3]  # site 2 pruned; endpoints + b survive
+    # snapping invariant (the reference's debug check): the chain ends
+    # at the site nearest to y
+    assert chain[-1] == 3
+    # a site with a NON-contained interval is kept
+    sites2 = np.stack([x, b, pt(0.05, 0.85), y])
+    assert snap_edge(x, y, sites2, snap) == [0, 1, 2, 3]
