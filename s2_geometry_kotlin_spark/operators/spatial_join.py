@@ -426,6 +426,13 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
     # single pass: interior fast-accept OR exact PIP — one scan of the
     # pages side (a union of two branches would recompute the whole
     # upstream chain twice when the input is not materialized)
+    if verify == "none":
+        # diagnostic stage split for the bench: candidate rows straight
+        # from the covering join, NO containment verify — a superset of
+        # the true result, never a query answer.  Lets a cross-round
+        # wall-time drift be attributed to the shuffle/join stage vs
+        # the verify stage.
+        return joined.select("url", "layer", "polygon_id")
     if verify == "sql":
         from .. import functions as s2f
         xc, yc, zc = s2f.xyz_cols("lat", "lon")

@@ -245,6 +245,43 @@ def _drain_and_stop(q, idle_polls: int = 4, poll_s: float = 0.25,
     q.stop()
 
 
+def run_stateful_stream_to_parquet(spark: SparkSession, events_dir: str,
+                                   out_dir: str, checkpoint_dir: str,
+                                   idle_timeout_ms: int = 3_600_000) -> None:
+    """Production sink variant: per-batch state updates land as parquet
+    files written BY THE EXECUTORS (foreachBatch -> DataFrame.write),
+    nothing is collected to the driver.  Update-mode stateful output
+    cannot use the built-in parquet sink (append-only), so the standard
+    production shape is foreachBatch + append write with the batch id
+    stamped on every row; a restart that replays an uncommitted batch
+    rewrites the same batch_id, and readers take the latest batch per
+    cell (`latest_cell_state`), making the sink effectively idempotent
+    at the state level.  Resume-safe via the query checkpoint."""
+    src = stream_events_from_dir(spark, events_dir)
+    out = cell_session_state(src, idle_timeout_ms=idle_timeout_ms)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("append").parquet(out_dir))
+
+    q = (out.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", checkpoint_dir).start())
+    _drain_and_stop(q)
+
+
+def latest_cell_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Converged per-cell state from a parquet state-update log: the row
+    from the highest batch that touched each cell (ties broken by
+    n_events, monotone within a cell)."""
+    from pyspark.sql import Window
+    df = spark.read.parquet(out_dir)
+    w = Window.partitionBy("cell_l8").orderBy(
+        F.desc("batch_id"), F.desc("n_events"))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "batch_id"))
+
+
 def run_stateful_stream_to_memory(spark: SparkSession, events_dir: str,
                                   table: str = "stream_state",
                                   idle_timeout_ms: int = 3_600_000,

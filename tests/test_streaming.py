@@ -157,3 +157,30 @@ def test_stateful_state_expires_after_timeout(spark, tmp_path_factory):
         spark.read.parquet(f"{events_dir}/c.parquet"))
     for r in batch_c.collect():
         assert latest[r["cell_l8"]]["n_events"] == r["n_events"]
+
+
+def test_stateful_parquet_sink_resumes_without_driver_collect(
+        spark, tmp_path_factory):
+    """Production sink variant: executor-side parquet writes via
+    foreachBatch, checkpoint-resumed across runs; the converged state
+    read back from the files equals the batch twin over ALL events."""
+    from s2_geometry_kotlin_spark import streaming as st
+
+    events_dir = str(tmp_path_factory.mktemp("events_pq"))
+    out_dir = str(tmp_path_factory.mktemp("state_pq")) + "/out"
+    ckpt = str(tmp_path_factory.mktemp("pq_ckpt"))
+
+    _write_events(f"{events_dir}/a.parquet", [1, 2, 3, 2], "2024-02-01")
+    st.run_stateful_stream_to_parquet(spark, events_dir, out_dir, ckpt)
+    # second run resumes from the checkpoint and processes only the new
+    # file; state (n_events, first_seen) must carry over
+    _write_events(f"{events_dir}/b.parquet", [2, 3, 4], "2024-02-02")
+    st.run_stateful_stream_to_parquet(spark, events_dir, out_dir, ckpt)
+
+    got_df = st.latest_cell_state(spark, out_dir)
+    assert "batch_id" not in got_df.columns
+    got = {tuple(r) for r in got_df.collect()}
+    expect_df = st.cell_session_state(spark.read.parquet(events_dir))
+    expect = {tuple(r) for r in expect_df.collect()}
+    assert got == expect
+    assert len(got) > 0
