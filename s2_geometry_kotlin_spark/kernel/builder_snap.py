@@ -92,6 +92,10 @@ class IdentitySnap(SnapFunction):
         # IdentitySnapFunction.minVertexSeparation: snapRadius
         return self.snap_radius
 
+    def min_edge_vertex_separation(self) -> float:
+        # IdentitySnapFunction.kt:53
+        return 0.5 * self.snap_radius
+
 
 class CellIdSnap(SnapFunction):
     """S2CellIdSnapFunction.kt: snap to level-`level` cell centers.
@@ -164,6 +168,14 @@ class IntLatLngSnap(SnapFunction):
         return max(0.471 * self.snap_radius,
                    self.snap_radius
                    - math.radians((0.5 * _SQRT2) / self._scale))
+
+    def min_edge_vertex_separation(self) -> float:
+        # IntLatLngSnapFunction.kt:128-156 (constant / proportional /
+        # asymptotic bounds)
+        vs = self.min_vertex_separation()
+        return max(math.radians(1.0 / self._scale) * 0.277,
+                   max(0.222 * self.snap_radius,
+                       (vs / self.snap_radius) * vs * 0.5))
 
 
 def choose_sites(vertices: np.ndarray, snap: SnapFunction) -> np.ndarray:
@@ -361,31 +373,44 @@ def _drop_degeneracies(chain: list[int]) -> list[int]:
     return out
 
 
-def snap_loops(loops: list[np.ndarray],
-               snap: SnapFunction) -> list[np.ndarray]:
+def snap_loops(loops: list[np.ndarray], snap: SnapFunction,
+               simplify_edge_chains: bool = False) -> list[np.ndarray]:
     """Snap-round a set of loops together (shared site set, so nearby
     vertices across loops merge consistently).  Returns the surviving
     snapped loops; degenerate loops (collapsed below 3 distinct sites)
-    are dropped."""
-    all_v = np.concatenate([np.asarray(lv, dtype=np.float64)
-                            for lv in loops], axis=0)
+    are dropped.  With simplify_edge_chains, chains of degree-2 sites
+    are simplified per S2Builder options.simplifyEdgeChains
+    (EdgeChainSimplifier, S2Builder.kt:1799-2200) while preserving the
+    snap guarantees — see _simplify_ring."""
+    loops = [np.asarray(lv, dtype=np.float64) for lv in loops]
+    all_v = np.concatenate(loops, axis=0)
     sites = choose_sites(all_v, snap)
-    out = []
-    for lv in loops:
-        lv = np.asarray(lv, dtype=np.float64)
-        chain: list[int] = []
+    # pass 1: snap every loop, recording the input edge that produced
+    # each output edge (owners[k] = input edge owning the ring edge
+    # ARRIVING at verts[k]; owners[0] = the closing edge's owner)
+    rings: list[tuple[list[int], list[tuple[int, int]]]] = []
+    for li, lv in enumerate(loops):
+        verts: list[int] = []
+        owners: list[tuple[int, int]] = []
         n = len(lv)
         for i in range(n):
             seg = snap_edge(lv[i], lv[(i + 1) % n], sites, snap)
             # each edge chain starts where the previous ended (the
             # snapEdge endpoint invariant); keep the full segment if a
             # pruning edge case ever breaks it rather than losing a site
-            if chain and seg and seg[0] == chain[-1]:
+            if verts and seg and seg[0] == verts[-1]:
                 seg = seg[1:]
-            chain.extend(seg)
-        if chain and chain[0] == chain[-1]:
-            chain = chain[:-1]
-        chain = _drop_degeneracies(chain)
+            verts.extend(seg)
+            owners.extend([(li, i)] * len(seg))
+        if len(verts) > 1 and verts[0] == verts[-1]:
+            verts.pop()
+            owners[0] = owners.pop()
+        rings.append((verts, owners))
+    if simplify_edge_chains:
+        rings = _simplify_rings(rings, loops, sites, snap)
+    out = []
+    for verts, _owners in rings:
+        chain = _drop_degeneracies(verts)
         if len(chain) >= 3 and len(set(chain)) == len(chain):
             out.append(sites[chain])
         elif len(chain) >= 3:
@@ -394,6 +419,129 @@ def snap_loops(loops: list[np.ndarray],
             out.extend(sites[c] for c in _split_at_repeats(chain)
                        if len(c) >= 3)
     return out
+
+
+def _simplify_rings(rings, loops, sites: np.ndarray,
+                    snap: SnapFunction):
+    """EdgeChainSimplifier (S2Builder.kt:1799-2130) scoped to the
+    single-layer closed-ring graphs snap_loops builds: chains of
+    INTERIOR sites (used exactly once across all rings — in/out degree
+    1, no duplicates, no junctions) are replaced by simplified chains
+    subject to the reference's three guarantees:
+
+    - every input vertex snapped to a removed site stays within
+      edge_snap_radius of the simplified edge (targetInputVertices,
+      :2005-2016);
+    - every OTHER site near the replaced edges is avoided by
+      min_edge_vertex_separation on its original side, preserving
+      topology (avoidSites, :2019-2100);
+    - chain distance grows monotonically and no simplified edge
+      exceeds the max-edge-deviation length bound
+      (minEdgeLengthToSplit, S2Builder.kt:410)."""
+    from .polyline_simplifier import PolylineSimplifier
+
+    counts: dict[int, int] = {}
+    for verts, _ in rings:
+        for s in verts:
+            counts[s] = counts.get(s, 0) + 1
+    interior = {s: c == 1 for s, c in counts.items()}
+    # input vertices per site (the targets that must stay covered)
+    site_inputs: dict[int, list[np.ndarray]] = {}
+    for lv in loops:
+        for v in lv:
+            site_inputs.setdefault(_nearest_site(v, sites), []).append(v)
+    r_target = snap.edge_snap_radius()
+    r_avoid = snap.min_edge_vertex_separation()
+    query_r2 = _chord2(snap.max_edge_deviation() + r_avoid)
+    max_len = 2.0 * math.acos(min(1.0, math.sin(snap.snap_radius)
+                                  / math.sin(snap.max_edge_deviation())))
+    edge_sites_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def edge_sites(owner: tuple[int, int]) -> np.ndarray:
+        got = edge_sites_cache.get(owner)
+        if got is None:
+            li, i = owner
+            lv = loops[li]
+            x, y = lv[i], lv[(i + 1) % len(lv)]
+            d2 = point_edge_chord2_pairwise(
+                sites, np.broadcast_to(x, sites.shape),
+                np.broadcast_to(y, sites.shape))
+            got = np.flatnonzero(d2 <= query_r2)
+            edge_sites_cache[owner] = got
+        return got
+
+    def ang(a: np.ndarray, b: np.ndarray) -> float:
+        return math.acos(max(-1.0, min(1.0, float(a @ b))))
+
+    def simplify_ring(verts: list[int], owners: list[tuple[int, int]]):
+        m = len(verts)
+        if m < 3:
+            return verts, owners
+        start = next((k for k in range(m) if not interior[verts[k]]), 0)
+        verts = verts[start:] + verts[:start]
+        owners = owners[start:] + owners[:start]
+        path = verts + [verts[0]]
+        # edge j: path[j] -> path[j+1], owned by owners[(j+1) % m]
+        e_owner = [owners[(j + 1) % m] for j in range(m)]
+
+        def avoid(c0: int, v1: int, simp) -> bool:
+            """avoidSites(:2019-2100) for edge j=v1 (v1 -> v1+1)."""
+            p0 = sites[path[c0]]
+            p1 = sites[path[v1]]
+            p2 = sites[path[v1 + 1]]
+            r1 = ang(p0, p1)
+            r2 = ang(p0, p2)
+            if r2 < r1:
+                return False  # chain must move away monotonically
+            if r2 >= max_len:
+                return False  # edge too long for the deviation bound
+            excl = {path[c0], path[v1], path[v1 + 1]}
+            for sid in edge_sites(e_owner[v1]):
+                sid = int(sid)
+                if sid in excl:
+                    continue
+                p = sites[sid]
+                r = ang(p0, p)
+                if r <= r1 or r >= r2:
+                    continue
+                if v1 == c0:
+                    disc_on_left = pred.sign(p1, p2, p) > 0
+                else:
+                    disc_on_left = pred.ordered_ccw(p0, p2, p, p1)
+                if not simp.avoid_disc(p, r_avoid, disc_on_left):
+                    return False
+            return True
+
+        def target_inputs(v: int, simp) -> bool:
+            for iv in site_inputs.get(path[v], ()):
+                if not simp.target_disc(iv, r_target):
+                    return False
+            return True
+
+        new_verts: list[int] = []
+        new_owners: list[tuple[int, int]] = []
+        j = 0
+        while j < m:
+            simp = PolylineSimplifier()
+            simp.init(sites[path[j]])
+            avoid(j, j, simp)  # seed the window with the first edge
+            chain = [j]
+            cur0, cur1 = j, j + 1
+            while True:
+                chain.append(cur1)
+                if cur1 == m or not interior[path[cur1]]:
+                    break
+                cur0, cur1 = cur1, cur1 + 1
+                if not (target_inputs(cur0, simp)
+                        and avoid(chain[0], cur0, simp)
+                        and simp.extend(sites[path[cur1]])):
+                    break
+            new_verts.append(path[chain[0]])
+            new_owners.append(e_owner[chain[0] % m])
+            j = chain[-1]
+        return new_verts, new_owners
+
+    return [simplify_ring(v, o) for v, o in rings]
 
 
 def _split_at_repeats(chain: list[int]) -> list[list[int]]:
@@ -416,8 +564,10 @@ def _split_at_repeats(chain: list[int]) -> list[list[int]]:
     return cycles
 
 
-def snap_polygon(poly: Polygon, snap: SnapFunction) -> Polygon:
+def snap_polygon(poly: Polygon, snap: SnapFunction,
+                 simplify_edge_chains: bool = False) -> Polygon:
     """Snap-round a polygon's loops; the Polygon constructor re-derives
     orientation/nesting from the snapped rings (initOriented model)."""
-    snapped = snap_loops([lp.vertices for lp in poly.loops], snap)
+    snapped = snap_loops([lp.vertices for lp in poly.loops], snap,
+                         simplify_edge_chains=simplify_edge_chains)
     return Polygon([Loop(v) for v in snapped])

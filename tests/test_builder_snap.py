@@ -184,3 +184,115 @@ def test_voronoi_exclusion_prunes_redundant_chain_site():
     # a site with a NON-contained interval is kept
     sites2 = np.stack([x, b, pt(0.05, 0.85), y])
     assert snap_edge(x, y, sites2, snap) == [0, 1, 2, 3]
+
+
+def _ring_chord_to_inputs(ring_sites, inputs):
+    """max over input vertices of (min chord distance to the ring)."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.edges import \
+        point_edge_chord2_pairwise
+    m = len(ring_sites)
+    d2min = None
+    for k in range(m):
+        a, b = ring_sites[k], ring_sites[(k + 1) % m]
+        d2 = point_edge_chord2_pairwise(
+            inputs, np.broadcast_to(a, inputs.shape),
+            np.broadcast_to(b, inputs.shape))
+        d2min = d2 if d2min is None else np.minimum(d2min, d2)
+    return float(np.sqrt(d2min).max())
+
+
+def test_simplify_edge_chains_reduces_and_keeps_tolerance():
+    """S2Builder options.simplifyEdgeChains: an oversampled circle
+    snapped at level 14 collapses from ~200 sites to a handful, and
+    every INPUT vertex stays within edge_snap_radius of the simplified
+    ring (the targetInputVertices guarantee)."""
+    import math
+
+    from s2_geometry_kotlin_spark.kernel.builder_snap import (CellIdSnap,
+                                                              snap_loops)
+    from s2_geometry_kotlin_spark.sources.layers import \
+        regular_loop_vertices
+
+    ring = regular_loop_vertices(48.8566, 2.3522, 0.5, 200)
+    snap = CellIdSnap(14)
+    plain = snap_loops([ring], snap)
+    simp = snap_loops([ring], snap, simplify_edge_chains=True)
+    assert len(plain) == len(simp) == 1
+    assert len(simp[0]) < len(plain[0]) / 3  # real simplification
+    worst = _ring_chord_to_inputs(simp[0], ring)
+    r_chord = 2 * math.sin(snap.edge_snap_radius() / 2)
+    assert worst <= r_chord * (1 + 1e-9)
+
+
+def test_simplify_edge_chains_keeps_junction_sites():
+    """Sites shared between two loops are NOT interior (degree > 1 in
+    the merged graph) and must survive simplification, so adjacent
+    snapped layers keep their exact shared border."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.builder_snap import (CellIdSnap,
+                                                              snap_loops)
+    from s2_geometry_kotlin_spark.sources.layers import \
+        regular_loop_vertices
+
+    a = regular_loop_vertices(10.0, 10.0, 0.5, 80)
+    b = regular_loop_vertices(10.0, 10.9, 0.5, 80)  # overlapping discs
+    snap = CellIdSnap(12)
+    out = snap_loops([a, b], snap, simplify_edge_chains=True)
+    assert len(out) == 2
+    # any site used by both output rings must appear in both (junction
+    # preservation): compare exact row sets
+    keys_a = {tuple(v) for v in out[0]}
+    keys_b = {tuple(v) for v in out[1]}
+    plain = snap_loops([a, b], snap)
+    shared_plain = ({tuple(v) for v in plain[0]}
+                    & {tuple(v) for v in plain[1]})
+    assert shared_plain <= (keys_a & keys_b)
+
+
+def test_simplify_edge_chains_avoids_nearby_site():
+    """Topology guarantee: simplification may not bring the chain
+    closer than min_edge_vertex_separation to any OTHER site — the
+    simplified ring's clearance to a nearby feature is never reduced
+    below the separation bound."""
+    import math
+
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.builder_snap import (
+        CellIdSnap, snap_loops)
+    from s2_geometry_kotlin_spark.kernel.edges import \
+        point_edge_chord2_pairwise
+    from s2_geometry_kotlin_spark.sources.layers import \
+        regular_loop_vertices
+
+    ring = regular_loop_vertices(0.0, 0.0, 0.5, 120)
+    # a small polygon hugging the inside of the ring arc, inside the
+    # max-edge-deviation corridor a careless chord could cut through
+    tri = regular_loop_vertices(0.0, 0.475, 0.012, 6)
+    snap = CellIdSnap(14)
+    plain = snap_loops([ring, tri], snap)
+    out = snap_loops([ring, tri], snap, simplify_edge_chains=True)
+    assert len(plain) == len(out) == 2
+
+    def clearance(big, small):
+        m = len(big)
+        worst = None
+        for p in small:
+            d2 = point_edge_chord2_pairwise(
+                np.asarray([p] * m), np.asarray(big),
+                np.asarray([big[(k + 1) % m] for k in range(m)]))
+            d = float(np.sqrt(d2).min())
+            worst = d if worst is None else min(worst, d)
+        return worst
+
+    big_p, small_p = max(plain, key=len), min(plain, key=len)
+    big_s, small_s = max(out, key=len), min(out, key=len)
+    assert len(big_s) < len(big_p)  # the ring actually simplified
+    sep_chord = 2 * math.sin(snap.min_edge_vertex_separation() / 2)
+    before = clearance(big_p, small_p)
+    after = clearance(big_s, small_s)
+    # never reduced below the separation bound
+    assert after >= min(before, sep_chord) * (1 - 1e-9), (before, after)
