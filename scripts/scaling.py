@@ -133,6 +133,21 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
         print("RESULT " + json.dumps(run_level(int(sys.argv[2]))))
         return
+    if len(sys.argv) > 2 and sys.argv[1] == "--assemble":
+        # levels were run as separate invocations (each fits a bounded
+        # command budget); assemble their RESULT lines into the report
+        res = {}
+        with open(sys.argv[2]) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln.startswith("RESULT "):
+                    ln = ln[len("RESULT "):]
+                if not ln:
+                    continue
+                d = json.loads(ln)
+                res[d["cpus"]] = d
+        report(res)
+        return
     setup = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--materialize"],
         capture_output=True, text=True, timeout=1800,
@@ -153,7 +168,10 @@ def main() -> None:
             raise SystemExit(f"level {cpus} failed")
         res[cpus] = json.loads(line[-1][len("RESULT "):])
         print("LEVEL " + line[-1][len("RESULT "):], flush=True)
+    report(res)
 
+
+def report(res: dict) -> None:
     def eff(small: int, big: int, key: str) -> float:
         ratio = res[small][key] / res[big][key]
         return round(ratio / (big / small), 3)
@@ -180,7 +198,7 @@ def main() -> None:
         f"| local[{c}], shuffle={c} | {n} | {res[c]['sec_geocode']} | "
         f"{res[c]['sec_join']} | {res[c]['sec_total']} | "
         f"{round(n / res[c]['sec_total'], 1)} | {res[c]['sec_calib']} |"
-        for c in LEVELS if c in res)
+        for c in sorted(res))
     pair_rows = "\n".join(
         f"| {k} | {v['pipeline_efficiency']} | {v['machine_ceiling']} | "
         f"{round(v['pipeline_efficiency'] / max(1e-9, v['machine_ceiling']), 3)} |"
