@@ -14,11 +14,12 @@ truncates the lineage each round so the plan doesn't grow (the
 iterative-loop pattern used by the kNN escalation in operators/
 edges.py).  Rounds needed = graph diameter; near-duplicate clusters are
 near-cliques (diameter 2-3), so this converges in a handful of rounds
-at any scale.  For adversarial long-chain graphs the same loop body
-extends to the large-star/small-star contraction (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) which bounds
-rounds by O(log^2 n); dedup inputs don't need it and it doubles the
-shuffles per round.
+at any scale.  For adversarial long-chain graphs
+`connected_components_star` implements the large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14), which bounds rounds by O(log^2 n) on any graph at
+the cost of two shuffles per round; dedup inputs don't need it, so the
+propagation loop stays the default.
 
 Convergence is checked with a count of changed labels per round — an
 O(1)-row action, not a collect of data.
@@ -74,6 +75,67 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
             f"connected_components did not converge in {max_rounds} "
             "rounds (graph diameter too large); raise max_rounds")
     return comp.select("node", "comp")
+
+
+def connected_components_star(pairs: DataFrame, a: str = "doc_a",
+                              b: str = "doc_b",
+                              max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """The adversarial-graph variant: alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14).  Converges in O(log^2 n) rounds on ANY graph —
+    including long chains whose diameter defeats plain min-label
+    propagation — at the cost of two shuffles per round instead of one.
+
+    large-star (over undirected neighborhoods): every node u links each
+    STRICTLY GREATER neighbor to m = min(N(u) + {u}); small-star (over
+    edges directed larger -> smaller): every node u links its smaller
+    neighbors and itself to m.  Both preserve connectivity; the
+    fixpoint is a star per component centered on its minimum id."""
+    base = (pairs.where(F.col(a) != F.col(b))
+            .select(F.col(a).alias("u"), F.col(b).alias("v")))
+    edges = base.distinct().localCheckpoint()
+    all_nodes = (edges.select(F.col("u").alias("node"))
+                 .union(edges.select(F.col("v").alias("node")))
+                 .distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        # large-star on full (undirected) neighborhoods
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v"))).distinct()
+        nbr = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m"),
+            F.collect_list("v").alias("vs"))
+        large = (nbr.select("u", "m", F.explode("vs").alias("v"))
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        edges = (large.where(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint())
+        # small-star on edges directed larger -> smaller
+        dirn = (edges.select(F.greatest("u", "v").alias("s"),
+                             F.least("u", "v").alias("t")).distinct())
+        nbr = dirn.groupBy("s").agg(F.min("t").alias("m"),
+                                    F.collect_list("t").alias("ts"))
+        small = (nbr.select("m", F.explode("ts").alias("t"))
+                 .select(F.col("t").alias("u"), F.col("m").alias("v"))
+                 .union(nbr.select(F.col("s").alias("u"),
+                                   F.col("m").alias("v"))))
+        edges = (small.where(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint())
+        # star fixpoint: no edge target is itself a source (an O(1)-row
+        # action over the checkpointed edge set)
+        e1, e2 = edges.alias("e1"), edges.alias("e2")
+        non_star = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+                    .limit(1).count())
+        if non_star == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_rounds} rounds")
+    comp = edges.select(F.col("u").alias("node"),
+                        F.col("v").alias("comp"))
+    # centers and isolated nodes label themselves
+    return (all_nodes.join(comp, "node", "left")
+            .select("node", F.coalesce("comp", "node").alias("comp")))
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -238,52 +238,17 @@ def routes_cross_polygons(spark: SparkSession,
                           polygons) -> DataFrame:
     """(route_id, polygon_id, n_crossings > 0) — strict interior
     crossings of route edges with polygon boundary edges
-    (crossingSign triage form, S2EdgeCrossings.kt:115-118)."""
-    r_rows = []
-    for rid, eid, _cum, *vals in route_edge_rows(routes):
-        d = dict(zip(_EDGE_FIELDS, vals))
-        r_rows.append((rid, eid, d["cx"], d["cy"], d["cz"],
-                       d["dx"], d["dy"], d["dz"],
-                       d["ex"], d["ey"], d["ez"]))
-    rdf = spark.createDataFrame(
-        r_rows, "route_id long, redge long, ax double, ay double, "
-                "az double, bx double, by double, bz double, "
-                "nabx double, naby double, nabz double")
-    p_rows = []
-    for layer, pid, poly in polygons:
-        for lp in poly.loops:
-            verts = lp.vertices
-            n = len(verts)
-            for i in range(n):
-                c = verts[i]
-                d = verts[(i + 1) % n]
-                e = np.cross(c, d)
-                p_rows.append((pid, float(c[0]), float(c[1]), float(c[2]),
-                               float(d[0]), float(d[1]), float(d[2]),
-                               float(e[0]), float(e[1]), float(e[2])))
-    pdf = spark.createDataFrame(
-        p_rows, "polygon_id long, cx double, cy double, cz double, "
-                "dx double, dy double, dz double, "
-                "ncdx double, ncdy double, ncdz double")
+    (crossingSign triage form, S2EdgeCrossings.kt:115-118).
 
-    def sgn(v: Column) -> Column:
-        return F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)) \
-            .otherwise(F.lit(0))
-
-    j = rdf.crossJoin(pdf)
-    acb = -sgn(F.col("nabx") * F.col("cx") + F.col("naby") * F.col("cy") +
-               F.col("nabz") * F.col("cz"))
-    bda = sgn(F.col("nabx") * F.col("dx") + F.col("naby") * F.col("dy") +
-              F.col("nabz") * F.col("dz"))
-    cbd = -sgn(F.col("ncdx") * F.col("bx") + F.col("ncdy") * F.col("by") +
-               F.col("ncdz") * F.col("bz"))
-    dac = sgn(F.col("ncdx") * F.col("ax") + F.col("ncdy") * F.col("ay") +
-              F.col("ncdz") * F.col("az"))
-    crossing = (acb != 0) & (acb == bda) & (acb == cbd) & (acb == dac)
-    return (j.withColumn("c", crossing.cast("int"))
-            .groupBy("route_id", "polygon_id")
-            .agg(F.sum("c").alias("n_crossings"))
-            .where(F.col("n_crossings") > 0))
+    Routed through the P9 indexed candidate path
+    (crossing_edges_indexed: per-edge cell coverings + bidirectional
+    ancestor equi-join + the same P2 verify) instead of an all-pairs
+    route-edges x polygon-edges crossJoin, so the plan survives a large
+    route layer: candidate volume is bounded by cell co-location, not
+    |routes| x |polygon edges|."""
+    pairs = crossing_edges_indexed(spark, routes, polygons)
+    return (pairs.groupBy("route_id", "polygon_id")
+            .agg(F.count("*").cast("bigint").alias("n_crossings")))
 
 
 def crossing_edges_indexed(spark: SparkSession,

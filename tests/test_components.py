@@ -61,3 +61,51 @@ FROM (SELECT DISTINCT u FROM edges) n
 LEFT JOIN reach r ON r.u = n.u GROUP BY 1 ORDER BY 1"""
     got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_star_matches_propagation_on_clustered_graph(spark):
+    """large/small-star and min-label propagation agree on a typical
+    dedup-shaped graph (several near-cliques + isolated pairs)."""
+    import random
+
+    from s2_geometry_kotlin_spark.operators.components import (
+        connected_components, connected_components_star)
+    rng = random.Random(7)
+    pairs = []
+    base = 0
+    for size in (5, 8, 3, 2, 6):
+        nodes = list(range(base, base + size))
+        for i in range(1, size):
+            pairs.append((nodes[i], nodes[rng.randrange(i)]))
+        for _ in range(size):
+            a, b = rng.sample(nodes, 2)
+            pairs.append((a, b))
+        base += size + 3  # gaps -> ids not contiguous
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    plain = {(r["node"], r["comp"])
+             for r in connected_components(df).collect()}
+    star = {(r["node"], r["comp"])
+            for r in connected_components_star(df).collect()}
+    assert plain == star
+    assert len(plain) > 0
+
+
+def test_star_handles_long_chain_beyond_propagation_budget(spark):
+    """A 60-node path has diameter 59: plain propagation raises at its
+    default 25-round budget (loud failure, by design); the star
+    contraction converges in O(log^2 n) rounds and labels the whole
+    chain with its minimum id."""
+    import pytest
+
+    from s2_geometry_kotlin_spark.operators.components import (
+        connected_components, connected_components_star)
+    n = 60
+    # descending ids along the path maximize propagation rounds
+    ids = list(range(n - 1, -1, -1))
+    pairs = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df)
+    got = {(r["node"], r["comp"])
+           for r in connected_components_star(df, max_rounds=12).collect()}
+    assert got == {(i, 0) for i in range(n)}
