@@ -286,17 +286,32 @@ def _kept_subedges(a: Polygon, b: Polygon, op: str) \
 
 
 def clip_polyline(line_vertices: np.ndarray, poly: Polygon,
-                  keep_inside: bool = True) -> list[np.ndarray]:
+                  keep_inside: bool = True,
+                  polygon_model: str = "SEMI_OPEN") -> list[np.ndarray]:
     """Polyline operand support (S2BooleanOperation accepts polyline
     layers; dimension-1 semantics of S2BooleanOperation.kt: a polyline
     INTERSECTION keeps the portions inside the polygon, a DIFFERENCE
     the portions outside).  Splits each polyline edge at its proper
     crossings with the polygon boundary and keeps each piece by its
     midpoint verdict — returns the kept sub-polylines in order, merged
-    across consecutive kept pieces."""
+    across consecutive kept pieces.
+
+    polygon_model decides polyline sub-edges that COINCIDE exactly with
+    a polygon boundary edge (S2BooleanOperation.kt:119-127): SEMI_OPEN
+    — "a polyline and polygon edge with the same endpoints intersect if
+    and only if they are in the same direction" (:121-123), so a
+    same-direction sub-edge counts as inside, a reversed one as
+    outside; CLOSED — coincident sub-edges in either direction are
+    inside ("the only model where polygons that touch ... along an edge
+    intersect", :126-127); OPEN — polygons contain no edges, so both
+    directions are outside (a polyline following the boundary does not
+    intersect, :115-116)."""
+    if polygon_model not in POLYGON_MODELS:
+        raise ValueError(f"polygon_model must be one of {POLYGON_MODELS}")
     lb = oriented_boundary_loops(poly)
     pedges = [(lv[i], lv[(i + 1) % len(lv)])
               for lv in lb for i in range(len(lv))]
+    fwd_keys = {(_vkey(b0), _vkey(b1)) for b0, b1 in pedges}
     pieces: list[np.ndarray] = []
     cur: list[np.ndarray] = []
     for i in range(len(line_vertices) - 1):
@@ -307,7 +322,17 @@ def clip_polyline(line_vertices: np.ndarray, poly: Polygon,
         chain = [a0] + sorted(xs, key=lambda p: _edge_param(a0, p)) + [a1]
         for k in range(len(chain) - 1):
             v0, v1 = chain[k], chain[k + 1]
-            if poly.contains_point(_midpoint(v0, v1)) == keep_inside:
+            k01 = (_vkey(v0), _vkey(v1))
+            if k01 in fwd_keys or (k01[1], k01[0]) in fwd_keys:
+                if polygon_model == "CLOSED":
+                    inside = True
+                elif polygon_model == "OPEN":
+                    inside = False
+                else:  # SEMI_OPEN: direction decides
+                    inside = k01 in fwd_keys
+            else:
+                inside = poly.contains_point(_midpoint(v0, v1))
+            if inside == keep_inside:
                 if not cur:
                     cur = [v0]
                 cur.append(v1)

@@ -124,3 +124,35 @@ def test_identical_operands_matrix():
             # stacked same-direction boundaries are regular in every
             # model: no degeneracies anywhere in this matrix
             assert _counts(r) == (0, 0, 0, 0), (op, model)
+
+
+def test_polyline_model_on_coincident_edge():
+    """PolylineModel x PolygonModel for a polyline following a polygon
+    boundary edge (S2BooleanOperation.kt:115-127): SEMI_OPEN contains
+    the edge only in the polygon's own direction; CLOSED in both;
+    OPEN in neither."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.booleanop import clip_polyline
+    q = Polygon([Loop.from_latlng_text("0:0, 0:10, 10:10, 10:0")])
+    fwd = np.stack([pt(0, 0), pt(0, 10)])    # same direction as ring
+    rev = np.stack([pt(0, 10), pt(0, 0)])    # reversed
+
+    def kept_len(line, model, keep_inside=True):
+        return sum(len(p) for p in clip_polyline(
+            line, q, keep_inside=keep_inside, polygon_model=model))
+
+    # SEMI_OPEN: direction decides
+    assert kept_len(fwd, "SEMI_OPEN") == 2
+    assert kept_len(rev, "SEMI_OPEN") == 0
+    assert kept_len(rev, "SEMI_OPEN", keep_inside=False) == 2
+    # CLOSED: both directions intersect
+    assert kept_len(fwd, "CLOSED") == 2
+    assert kept_len(rev, "CLOSED") == 2
+    # OPEN: neither does
+    assert kept_len(fwd, "OPEN") == 0
+    assert kept_len(rev, "OPEN") == 0
+    # interior pieces are unaffected by the model
+    mid = np.stack([pt(5, 3), pt(5, 7)])
+    for model in ("OPEN", "SEMI_OPEN", "CLOSED"):
+        assert kept_len(mid, model) == 2
