@@ -215,9 +215,16 @@ def ann_recall(spark, sf_dir: str) -> dict:
              .select("query_id", "vec_id").cache())
     n = brute.count()
     out = {}
-    for name, fn in [("bucketed", sim.q_embed_ann_bucketed),
-                     ("multiprobe", sim.q_embed_ann_multiprobe),
-                     ("ivf", sim.q_embed_ivf_topk)]:
+    variants = [("bucketed", sim.q_embed_ann_bucketed),
+                ("multiprobe", sim.q_embed_ann_multiprobe),
+                ("ivf", sim.q_embed_ivf_topk),
+                # the measured nprobe trade-off curve (recall scales
+                # ~linearly with probes on isotropic data)
+                ("ivf_nprobe4",
+                 lambda s, d: sim.ivf_topk(s, d, nprobe=4)),
+                ("ivf_nprobe8",
+                 lambda s, d: sim.ivf_topk(s, d, nprobe=8))]
+    for name, fn in variants:
         ann = fn(spark, sf_dir).select("query_id", "vec_id")
         hits = ann.join(brute, ["query_id", "vec_id"]).count()
         out[name] = round(hits / max(1, n), 4)

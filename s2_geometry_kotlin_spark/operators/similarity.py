@@ -384,6 +384,49 @@ def ivf_assign_arrow(df: DataFrame, cents: list[list[float]],
     return df.withColumn(out, _assign(F.col(vcol)))
 
 
+def ivf_topk(spark: SparkSession, sf_dir: str,
+             nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF ANN with a parameterized probe count — the recall/cost knob:
+    each query probes its `nprobe` nearest centroid lists (of IVF_K),
+    so candidate volume and recall both scale ~linearly with nprobe on
+    isotropic data.  q_embed_ivf_topk is the nprobe=2 instance whose
+    determinism the driver oracle pins; this variant feeds the bench's
+    measured recall curve."""
+    cents = _ivf_centroids(_ivf_train_path(sf_dir))
+    vecs = _load(spark, sf_dir)
+    assigned = vecs.withColumn("cid",
+                               _ivf_assign_expr(cents, F.col("v")).cid)
+    # nprobe nearest centroids per query: build (d2, cid) structs for
+    # all IVF_K centroids, array_sort (lexicographic: d2 then cid, so
+    # ties break to the lower id like the chained-argmin form), slice
+    pairs = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"),
+                           F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda s, t: s + t).alias("d2"),
+            F.lit(i).cast("long").alias("cid"))
+        for i, c in enumerate(cents)])
+    probes = F.transform(
+        F.slice(F.array_sort(pairs), 1, int(nprobe)),
+        lambda p: p.cid)
+    queries = (assigned.where(F.col("vec_id") % QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm"),
+                       F.explode(probes).alias("cid")))
+    cand = (assigned.join(F.broadcast(queries), "cid")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", _dot(F.col("v"), F.col("qv")) /
+                        (F.col("norm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cosine", 6).alias("cosine_r")))
+
+
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: vectors are bucketed by nearest coarse centroid; each
     query probes its IVF_NPROBE nearest centroid lists and takes the
