@@ -1,0 +1,236 @@
+"""S2Builder graph substrate: edge-processing policies.
+
+Reference: builder/graph/GraphOptions.kt (the DegenerateEdges /
+DuplicateEdges / SiblingPairs policy enums), builder/graph/
+EdgeProcessor.kt (the sorted merge-join that applies them), and
+Graph.processEdges (Graph.kt:945-953, which flips REQUIRE/CREATE
+graphs to DIRECTED afterward).  This is the layer between snapping and
+assembly: every output layer type declares its GraphOptions
+(S2PolygonLayer: DISCARD degenerate edges + DISCARD sibling pairs,
+S2PolygonLayer.kt:128-133; S2PolylineLayer: DISCARD degenerates, KEEP
+everything else, S2PolylineLayer.kt:106-111) and the processor
+normalizes the snapped edge multiset accordingly.
+
+Edges are directed (v0, v1) integer index pairs; each edge carries an
+input-id SET (which input edges snapped to it) — discarding/merging
+policies merge these sets exactly as the reference's IdSetLexicon
+bookkeeping does, so provenance survives normalization.
+
+Semantics summary (s2builder.h / GraphOptions.kt contract):
+- DegenerateEdges: DISCARD drops all self edges; DISCARD_EXCESS drops
+  them only at vertices with incident non-degenerate edges (else keeps
+  them, un-merged); KEEP keeps all.
+- DuplicateEdges: MERGE collapses identical directed edges (merging
+  input ids); KEEP keeps multiplicity.
+- SiblingPairs: DISCARD cancels each (e, reverse(e)) pair, leaving the
+  excess; DISCARD_EXCESS cancels all but one balanced pair; KEEP keeps
+  everything; REQUIRE errors when an edge lacks its sibling; CREATE
+  adds the missing reverse edges.  REQUIRE/CREATE convert the graph to
+  DIRECTED.  Any discarding option merges the input ids of ALL copies
+  of an edge (including, for consistency, degenerate duplicates).
+- UNDIRECTED graphs represent each input edge as a pair of directed
+  edges; counts are always even and the policies halve/keep them as
+  documented per branch below.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+
+class EdgeType(Enum):
+    DIRECTED = 0
+    UNDIRECTED = 1
+
+
+class DegenerateEdges(Enum):
+    DISCARD = 0
+    DISCARD_EXCESS = 1
+    KEEP = 2
+
+
+class DuplicateEdges(Enum):
+    MERGE = 0
+    KEEP = 1
+
+
+class SiblingPairs(Enum):
+    DISCARD = 0
+    DISCARD_EXCESS = 1
+    KEEP = 2
+    REQUIRE = 3
+    CREATE = 4
+
+
+@dataclass
+class GraphOptions:
+    edge_type: EdgeType = EdgeType.DIRECTED
+    degenerate_edges: DegenerateEdges = DegenerateEdges.KEEP
+    duplicate_edges: DuplicateEdges = DuplicateEdges.KEEP
+    sibling_pairs: SiblingPairs = SiblingPairs.KEEP
+
+
+# the single error this processor can raise (REQUIRE with a missing
+# sibling); mirrored as a return code so callers can surface it the way
+# the reference surfaces S2Error
+MISSING_SIBLINGS = "BUILDER_MISSING_EXPECTED_SIBLING_EDGES"
+
+# options used by the assembly layers (cited above)
+POLYGON_LAYER_OPTIONS = GraphOptions(
+    EdgeType.DIRECTED, DegenerateEdges.DISCARD, DuplicateEdges.KEEP,
+    SiblingPairs.DISCARD)
+POLYLINE_LAYER_OPTIONS = GraphOptions(
+    EdgeType.DIRECTED, DegenerateEdges.DISCARD, DuplicateEdges.KEEP,
+    SiblingPairs.KEEP)
+
+
+def process_edges(options: GraphOptions,
+                  edges: list[tuple[int, int]],
+                  input_ids: list[list[int]] | None = None):
+    """Graph.processEdges (EdgeProcessor.run, EdgeProcessor.kt:61-180):
+    returns (new_edges, new_input_ids, error) and flips
+    options.edge_type to DIRECTED for REQUIRE/CREATE (Graph.kt:949-952).
+    `input_ids[k]` is the id set of edge k (default: {k})."""
+    if input_ids is None:
+        input_ids = [[k] for k in range(len(edges))]
+    if len(input_ids) != len(edges):
+        raise ValueError("input_ids must parallel edges")
+    n = len(edges)
+    new_edges: list[tuple[int, int]] = []
+    new_ids: list[list[int]] = []
+    error = None
+    if n == 0:
+        if options.sibling_pairs in (SiblingPairs.REQUIRE,
+                                     SiblingPairs.CREATE):
+            options.edge_type = EdgeType.DIRECTED
+        return new_edges, new_ids, error
+
+    # stable lexicographic orders of outgoing and incoming (reversed)
+    # edges (Graph.stableLessThan, Graph.kt:1001-1010)
+    out_order = sorted(range(n), key=lambda i: (edges[i], i))
+    in_order = sorted(range(n), key=lambda i: (edges[i][::-1], i))
+
+    def merged_ids(out_begin: int, out_end: int) -> list[int]:
+        if out_end - out_begin == 1:
+            return list(input_ids[out_order[out_begin]])
+        s: set[int] = set()
+        for k in range(out_begin, out_end):
+            s.update(input_ids[out_order[k]])
+        return sorted(s)
+
+    def add_edges(count: int, edge: tuple[int, int], ids: list[int]):
+        for _ in range(count):
+            new_edges.append(edge)
+            new_ids.append(list(ids))
+
+    def copy_edges(out_begin: int, out_end: int):
+        for k in range(out_begin, out_end):
+            new_edges.append(edges[out_order[k]])
+            new_ids.append(list(input_ids[out_order[k]]))
+
+    sentinel = (1 << 62, 1 << 62)
+    out_idx = in_idx = 0
+    out_edge = edges[out_order[0]]
+    in_edge = edges[in_order[0]]
+    while True:
+        edge = min(out_edge, in_edge[::-1])
+        if edge == sentinel:
+            break
+        out_begin, in_begin = out_idx, in_idx
+        while out_edge == edge:
+            out_idx += 1
+            out_edge = sentinel if out_idx == n else edges[out_order[out_idx]]
+        while in_edge[::-1] == edge:
+            in_idx += 1
+            in_edge = sentinel if in_idx == n else edges[in_order[in_idx]]
+        n_out = out_idx - out_begin
+        n_in = in_idx - in_begin
+
+        if edge[0] == edge[1]:
+            # degenerate edge (EdgeProcessor.kt:90-118)
+            assert n_out == n_in
+            if options.degenerate_edges == DegenerateEdges.DISCARD:
+                continue
+            if options.degenerate_edges == DegenerateEdges.DISCARD_EXCESS \
+                    and ((out_begin > 0 and
+                          edges[out_order[out_begin - 1]][0] == edge[0])
+                         or (out_idx < n and
+                             edges[out_order[out_idx]][0] == edge[0])
+                         or (in_begin > 0 and
+                             edges[in_order[in_begin - 1]][1] == edge[0])
+                         or (in_idx < n and
+                             edges[in_order[in_idx]][1] == edge[0])):
+                continue  # non-degenerate incident edges exist: discard
+            if options.edge_type == EdgeType.UNDIRECTED and \
+                    options.sibling_pairs in (SiblingPairs.REQUIRE,
+                                              SiblingPairs.CREATE):
+                # halved when converting undirected -> directed
+                assert n_out % 2 == 0
+                count = 1 if options.duplicate_edges == \
+                    DuplicateEdges.MERGE else n_out // 2
+                add_edges(count, edge, merged_ids(out_begin, out_idx))
+            elif options.duplicate_edges == DuplicateEdges.MERGE:
+                count = 2 if options.edge_type == EdgeType.UNDIRECTED \
+                    else 1
+                add_edges(count, edge, merged_ids(out_begin, out_idx))
+            elif options.sibling_pairs in (SiblingPairs.DISCARD,
+                                           SiblingPairs.DISCARD_EXCESS):
+                # discarding options merge labels of all copies
+                add_edges(n_out, edge, merged_ids(out_begin, out_idx))
+            else:
+                copy_edges(out_begin, out_idx)
+        elif options.sibling_pairs == SiblingPairs.KEEP:
+            if n_out > 1 and \
+                    options.duplicate_edges == DuplicateEdges.MERGE:
+                add_edges(1, edge, merged_ids(out_begin, out_idx))
+            else:
+                copy_edges(out_begin, out_idx)
+        elif options.sibling_pairs == SiblingPairs.DISCARD:
+            if options.edge_type == EdgeType.DIRECTED:
+                # n_out == n_in: balanced pairs; else the excess stays
+                if n_out <= n_in:
+                    continue
+                count = 1 if options.duplicate_edges == \
+                    DuplicateEdges.MERGE else n_out - n_in
+                add_edges(count, edge, merged_ids(out_begin, out_idx))
+            else:
+                if n_out % 2 == 0:
+                    continue
+                add_edges(1, edge, merged_ids(out_begin, out_idx))
+        elif options.sibling_pairs == SiblingPairs.DISCARD_EXCESS:
+            if options.edge_type == EdgeType.DIRECTED:
+                # keep one balanced pair if the result would be empty
+                if n_out < n_in:
+                    continue
+                count = 1 if options.duplicate_edges == \
+                    DuplicateEdges.MERGE else max(1, n_out - n_in)
+                add_edges(count, edge, merged_ids(out_begin, out_idx))
+            else:
+                add_edges(1 if n_out % 2 != 0 else 2, edge,
+                          merged_ids(out_begin, out_idx))
+        else:
+            assert options.sibling_pairs in (SiblingPairs.REQUIRE,
+                                             SiblingPairs.CREATE)
+            if error is None and \
+                    options.sibling_pairs == SiblingPairs.REQUIRE and \
+                    (n_out != n_in
+                     if options.edge_type == EdgeType.DIRECTED
+                     else n_out % 2 != 0):
+                error = MISSING_SIBLINGS
+            if options.duplicate_edges == DuplicateEdges.MERGE:
+                add_edges(1, edge, merged_ids(out_begin, out_idx))
+            elif options.edge_type == EdgeType.UNDIRECTED:
+                # convert to directed (REQUIRE/CREATE undirected form)
+                add_edges((n_out + 1) // 2, edge,
+                          merged_ids(out_begin, out_idx))
+            else:
+                copy_edges(out_begin, out_idx)
+                if n_in > n_out:
+                    # automatically created edges carry no input ids
+                    add_edges(n_in - n_out, edge, [])
+
+    if options.sibling_pairs in (SiblingPairs.REQUIRE,
+                                 SiblingPairs.CREATE):
+        options.edge_type = EdgeType.DIRECTED
+    return new_edges, new_ids, error

@@ -1,0 +1,233 @@
+"""Graph substrate parity: every processEdges case from the upstream
+GraphUnitTest.kt (:203-520), exercised against
+kernel/builder_graph.process_edges.  Ids in the expected output are
+the merged input-id sets, as the reference's IdSetLexicon records."""
+
+import pytest
+
+from s2_geometry_kotlin_spark.kernel.builder_graph import (
+    MISSING_SIBLINGS, DegenerateEdges, DuplicateEdges, EdgeType,
+    GraphOptions, SiblingPairs, process_edges)
+
+D = EdgeType.DIRECTED
+U = EdgeType.UNDIRECTED
+DE = DegenerateEdges
+DUP = DuplicateEdges
+SP = SiblingPairs
+
+
+def run(options, inputs, expected, expected_error=None):
+    """inputs/expected: list of (v0, v1) or (v0, v1, ids)."""
+    edges = [(e[0], e[1]) for e in inputs]
+    ids = [list(e[2]) if len(e) > 2 else [] for e in inputs]
+    got_edges, got_ids, err = process_edges(options, edges, ids)
+    assert err == expected_error, (err, expected_error)
+    exp_edges = [(e[0], e[1]) for e in expected]
+    exp_ids = [sorted(e[2]) if len(e) > 2 else [] for e in expected]
+    assert got_edges == exp_edges, (got_edges, exp_edges)
+    assert [sorted(i) for i in got_ids] == exp_ids, (got_ids, exp_ids)
+
+
+def test_discard_degenerate_edges():
+    run(GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.KEEP),
+        [(0, 0), (0, 0)], [])
+
+
+def test_keep_duplicate_degenerate_edges():
+    run(GraphOptions(D, DE.KEEP, DUP.KEEP, SP.KEEP),
+        [(0, 0), (0, 0)], [(0, 0), (0, 0)])
+
+
+def test_merge_duplicate_degenerate_edges():
+    run(GraphOptions(D, DE.KEEP, DUP.MERGE, SP.KEEP),
+        [(0, 0, [1]), (0, 0, [2])], [(0, 0, [1, 2])])
+
+
+def test_merge_undirected_duplicate_degenerate_edges():
+    run(GraphOptions(U, DE.KEEP, DUP.MERGE, SP.KEEP),
+        [(0, 0, [1]), (0, 0), (0, 0), (0, 0, [2])],
+        [(0, 0, [1, 2]), (0, 0, [1, 2])])
+
+
+def test_converted_undirected_degenerate_edges():
+    opts = GraphOptions(U, DE.KEEP, DUP.KEEP, SP.REQUIRE)
+    run(opts, [(0, 0, [1]), (0, 0), (0, 0), (0, 0, [2])],
+        [(0, 0, [1, 2]), (0, 0, [1, 2])])
+    assert opts.edge_type == D
+
+
+def test_merge_converted_undirected_duplicate_degenerate_edges():
+    opts = GraphOptions(U, DE.KEEP, DUP.MERGE, SP.REQUIRE)
+    run(opts, [(0, 0, [1]), (0, 0), (0, 0), (0, 0, [2])],
+        [(0, 0, [1, 2])])
+    assert opts.edge_type == D
+
+
+def test_discard_excess_connected_degenerate_edges():
+    opts = GraphOptions(D, DE.DISCARD_EXCESS, DUP.KEEP, SP.KEEP)
+    run(opts, [(0, 0), (0, 1)], [(0, 1)])
+    run(opts, [(0, 0), (1, 0)], [(1, 0)])
+    run(opts, [(0, 1), (1, 1)], [(0, 1)])
+    run(opts, [(1, 0), (1, 1)], [(1, 0)])
+
+
+def test_discard_excess_isolated_degenerate_edges():
+    run(GraphOptions(D, DE.DISCARD_EXCESS, DUP.KEEP, SP.KEEP),
+        [(0, 0, [1]), (0, 0, [2])], [(0, 0, [1]), (0, 0, [2])])
+
+
+def test_discard_excess_undirected_isolated_degenerate_edges():
+    run(GraphOptions(U, DE.DISCARD_EXCESS, DUP.KEEP, SP.KEEP),
+        [(0, 0, [1]), (0, 0), (0, 0, [2]), (0, 0)],
+        [(0, 0, [1]), (0, 0), (0, 0, [2]), (0, 0)])
+
+
+def test_discard_excess_converted_undirected_isolated_degenerates():
+    opts = GraphOptions(U, DE.DISCARD_EXCESS, DUP.KEEP, SP.REQUIRE)
+    run(opts, [(0, 0, [1]), (0, 0, [2]), (0, 0, [3]), (0, 0)],
+        [(0, 0, [1, 2, 3]), (0, 0, [1, 2, 3])])
+    assert opts.edge_type == D
+
+
+def test_sibling_pairs_discard_merges_degenerate_edge_labels():
+    for sp in (SP.DISCARD, SP.DISCARD_EXCESS):
+        run(GraphOptions(D, DE.KEEP, DUP.KEEP, sp),
+            [(0, 0, [1]), (0, 0, [2]), (0, 0, [3])],
+            [(0, 0, [1, 2, 3]), (0, 0, [1, 2, 3]), (0, 0, [1, 2, 3])])
+
+
+def test_keep_sibling_pairs():
+    run(GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.KEEP),
+        [(0, 1), (1, 0)], [(0, 1), (1, 0)])
+
+
+def test_merge_duplicate_sibling_pairs():
+    run(GraphOptions(D, DE.DISCARD, DUP.MERGE, SP.KEEP),
+        [(0, 1), (0, 1), (1, 0)], [(0, 1), (1, 0)])
+
+
+def test_discard_sibling_pairs():
+    opts = GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.DISCARD)
+    run(opts, [(0, 1), (1, 0)], [])
+    run(opts, [(0, 1), (0, 1), (1, 0), (1, 0)], [])
+    run(opts, [(0, 1), (0, 1), (0, 1), (1, 0)], [(0, 1), (0, 1)])
+    run(opts, [(0, 1), (1, 0), (1, 0), (1, 0)], [(1, 0), (1, 0)])
+
+
+def test_discard_sibling_pairs_merge_duplicates():
+    opts = GraphOptions(D, DE.DISCARD, DUP.MERGE, SP.DISCARD)
+    run(opts, [(0, 1), (0, 1), (1, 0), (1, 0)], [])
+    run(opts, [(0, 1), (0, 1), (0, 1), (1, 0)], [(0, 1)])
+    run(opts, [(0, 1), (1, 0), (1, 0), (1, 0)], [(1, 0)])
+
+
+def test_discard_undirected_sibling_pairs():
+    opts = GraphOptions(U, DE.DISCARD, DUP.KEEP, SP.DISCARD)
+    run(opts, [(0, 1), (1, 0)], [(0, 1), (1, 0)])
+    run(opts, [(0, 1), (0, 1), (1, 0), (1, 0)], [])
+    run(opts, [(0, 1), (0, 1), (0, 1), (1, 0), (1, 0), (1, 0)],
+        [(0, 1), (1, 0)])
+
+
+def test_discard_excess_sibling_pairs():
+    opts = GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.DISCARD_EXCESS)
+    run(opts, [(0, 1), (1, 0)], [(0, 1), (1, 0)])
+    run(opts, [(0, 1), (0, 1), (1, 0), (1, 0)], [(0, 1), (1, 0)])
+    run(opts, [(0, 1), (0, 1), (0, 1), (1, 0)], [(0, 1), (0, 1)])
+    run(opts, [(0, 1), (1, 0), (1, 0), (1, 0)], [(1, 0), (1, 0)])
+
+
+def test_discard_excess_sibling_pairs_merge_duplicates():
+    opts = GraphOptions(D, DE.DISCARD, DUP.MERGE, SP.DISCARD_EXCESS)
+    run(opts, [(0, 1), (0, 1), (1, 0), (1, 0)], [(0, 1), (1, 0)])
+    run(opts, [(0, 1), (0, 1), (0, 1), (1, 0)], [(0, 1)])
+    run(opts, [(0, 1), (1, 0), (1, 0), (1, 0)], [(1, 0)])
+
+
+def test_discard_excess_undirected_sibling_pairs():
+    opts = GraphOptions(U, DE.DISCARD, DUP.KEEP, SP.DISCARD_EXCESS)
+    run(opts, [(0, 1), (1, 0)], [(0, 1), (1, 0)])
+    run(opts, [(0, 1), (0, 1), (1, 0), (1, 0)],
+        [(0, 1), (0, 1), (1, 0), (1, 0)])
+    run(opts, [(0, 1), (0, 1), (0, 1), (1, 0), (1, 0), (1, 0)],
+        [(0, 1), (1, 0)])
+
+
+def test_create_sibling_pairs():
+    opts = GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.CREATE)
+    run(opts, [(0, 1)], [(0, 1), (1, 0)])
+    opts = GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.CREATE)
+    run(opts, [(0, 1), (0, 1)], [(0, 1), (0, 1), (1, 0), (1, 0)])
+
+
+def test_require_sibling_pairs():
+    opts = GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.REQUIRE)
+    run(opts, [(0, 1), (1, 0)], [(0, 1), (1, 0)])
+    opts = GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.REQUIRE)
+    run(opts, [(0, 1)], [(0, 1), (1, 0)],
+        expected_error=MISSING_SIBLINGS)
+
+
+def test_create_undirected_sibling_pairs():
+    opts = GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.CREATE)
+    run(opts, [(0, 1), (1, 0)], [(0, 1), (1, 0)])
+    assert opts.edge_type == D
+    opts = GraphOptions(U, DE.DISCARD, DUP.KEEP, SP.CREATE)
+    run(opts, [(0, 1), (0, 1), (1, 0), (1, 0)], [(0, 1), (1, 0)])
+    assert opts.edge_type == D
+    opts = GraphOptions(U, DE.DISCARD, DUP.KEEP, SP.CREATE)
+    run(opts, [(0, 1), (0, 1), (0, 1), (1, 0), (1, 0), (1, 0)],
+        [(0, 1), (0, 1), (1, 0), (1, 0)])
+    assert opts.edge_type == D
+
+
+def test_create_sibling_pairs_merge_duplicates():
+    opts = GraphOptions(D, DE.DISCARD, DUP.MERGE, SP.CREATE)
+    run(opts, [(0, 1)], [(0, 1), (1, 0)])
+    opts = GraphOptions(D, DE.DISCARD, DUP.MERGE, SP.CREATE)
+    run(opts, [(0, 1), (0, 1)], [(0, 1), (1, 0)])
+
+
+def test_create_undirected_sibling_pairs_merge_duplicates():
+    opts = GraphOptions(D, DE.DISCARD, DUP.MERGE, SP.CREATE)
+    run(opts, [(0, 1), (1, 0)], [(0, 1), (1, 0)])
+    assert opts.edge_type == D
+    opts = GraphOptions(U, DE.DISCARD, DUP.MERGE, SP.CREATE)
+    run(opts, [(0, 1), (0, 1), (0, 1), (1, 0), (1, 0), (1, 0)],
+        [(0, 1), (1, 0)])
+    assert opts.edge_type == D
+
+
+def test_polygon_layer_options_match_snap_cleanup():
+    """The snap pipeline's _drop_degeneracies implements exactly the
+    S2PolygonLayer graph policy (DegenerateEdges.DISCARD +
+    SiblingPairs.DISCARD): on closed chains with injected duplicate
+    vertices and sibling spikes, the edge multiset process_edges keeps
+    equals the edges of the cleaned ring."""
+    import random
+
+    from s2_geometry_kotlin_spark.kernel.builder_snap import \
+        _drop_degeneracies
+
+    rng = random.Random(11)
+    for _ in range(50):
+        m = rng.randrange(3, 9)
+        ring = list(range(m))
+        chain = []
+        for v in ring:
+            chain.append(v)
+            roll = rng.random()
+            if roll < 0.25:
+                chain.append(v)              # duplicate vertex
+            elif roll < 0.45:
+                w = m + rng.randrange(3)
+                chain.extend([w, v])         # sibling spike
+        cleaned = _drop_degeneracies(chain)
+        edges = [(chain[i], chain[(i + 1) % len(chain)])
+                 for i in range(len(chain))]
+        opts = GraphOptions(D, DE.DISCARD, DUP.KEEP, SP.DISCARD)
+        kept, _ids, err = process_edges(opts, edges)
+        assert err is None
+        exp = sorted((cleaned[i], cleaned[(i + 1) % len(cleaned)])
+                     for i in range(len(cleaned))) if cleaned else []
+        assert sorted(kept) == exp, (chain, cleaned, kept)
