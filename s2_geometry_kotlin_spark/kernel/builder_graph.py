@@ -234,3 +234,172 @@ def process_edges(options: GraphOptions,
                                  SiblingPairs.CREATE):
         options.edge_type = EdgeType.DIRECTED
     return new_edges, new_ids, error
+
+
+# ---------------------------------------------------------------------------
+# Assembly on processed graphs (directed): loops and polylines
+# ---------------------------------------------------------------------------
+
+def _degree_maps(edges):
+    out_map: dict[int, list[int]] = {}
+    in_deg: dict[int, int] = {}
+    for e, (a, b) in enumerate(edges):
+        out_map.setdefault(a, []).append(e)
+        in_deg[b] = in_deg.get(b, 0) + 1
+    return out_map, in_deg
+
+
+def get_directed_loops(edges: list[tuple[int, int]]) -> list[list[int]]:
+    """Graph.getDirectedLoops(LoopType.SIMPLE) for directed graphs:
+    partition the edges into SIMPLE loops (no repeated vertices within
+    a loop; a graph vertex may appear in several loops).  Requires a
+    fully-assemblable graph — every vertex with indegree == outdegree —
+    which is what the polygon-layer graph policies produce; raises on
+    open chains."""
+    out_map, _ = _degree_maps(edges)
+    used = [False] * len(edges)
+    loops: list[list[int]] = []
+    for e0 in range(len(edges)):
+        if used[e0]:
+            continue
+        # walk, splitting off a simple loop whenever a vertex repeats
+        walk: list[int] = []
+        pos: dict[int, int] = {}  # vertex -> index in walk of the edge
+        # LEAVING it
+        cur = e0
+        start_v = edges[e0][0]
+        pos[start_v] = 0
+        while True:
+            used[cur] = True
+            walk.append(cur)
+            v = edges[cur][1]
+            if v in pos:
+                k = pos[v]
+                loops.append(walk[k:])
+                for u in walk[k:]:
+                    pos.pop(edges[u][0], None)
+                del walk[k:]
+                if not walk:
+                    break
+                cur_v = v
+            else:
+                cur_v = v
+            nxt = next((k for k in out_map.get(cur_v, ())
+                        if not used[k]), None)
+            if nxt is None:
+                if walk:
+                    raise ValueError(
+                        "get_directed_loops: open chain (graph not "
+                        "loop-assemblable)")
+                break
+            pos[cur_v] = len(walk)
+            cur = nxt
+    return loops
+
+
+def build_polylines(edges: list[tuple[int, int]],
+                    polyline_type: str = "path") -> list[list[int]]:
+    """PolylineBuilder.buildPaths / buildWalks (PolylineBuilder.kt:
+    56-170) for DIRECTED graphs, as lists of edge ids.
+
+    - "path": maximal chains whose interior vertices have indegree ==
+      outdegree == 1; remaining edges form non-intersecting loops.
+    - "walk": maximal edge walks (vertices and edges may repeat across
+      walks, edges used once): first from every vertex with outdegree >
+      indegree, then leftover loops are spliced into walks passing
+      through a shared vertex, else emitted as closed walks.
+
+    Undirected graphs are normalized to directed first (process_edges
+    with SiblingPairs.REQUIRE/CREATE flips edge_type), so only the
+    directed form is implemented here."""
+    out_map, in_deg = _degree_maps(edges)
+    out_deg = {v: len(es) for v, es in out_map.items()}
+    used = [False] * len(edges)
+    n_left = len(edges)
+
+    def is_interior(v: int) -> bool:
+        return in_deg.get(v, 0) == 1 and out_deg.get(v, 0) == 1
+
+    def next_unused(v: int):
+        return next((k for k in out_map.get(v, ()) if not used[k]),
+                    None)
+
+    polylines: list[list[int]] = []
+
+    if polyline_type == "path":
+        def build_path(e: int) -> list[int]:
+            nonlocal n_left
+            cur = e
+            out: list[int] = []
+            start = edges[e][0]
+            while True:
+                out.append(cur)
+                used[cur] = True
+                n_left -= 1
+                v = edges[cur][1]
+                if not is_interior(v) or v == start:
+                    return out
+                cur = out_map[v][0]
+                if used[cur]:
+                    return out
+
+        for e in range(len(edges)):
+            if not used[e] and not is_interior(edges[e][0]):
+                polylines.append(build_path(e))
+        for e in range(len(edges)):  # leftover loops (all-interior)
+            if n_left == 0:
+                break
+            if not used[e]:
+                polylines.append(build_path(e))
+        return polylines
+
+    if polyline_type != "walk":
+        raise ValueError("polyline_type must be 'path' or 'walk'")
+
+    def build_walk(v: int) -> list[int]:
+        nonlocal n_left
+        out: list[int] = []
+        while True:
+            e = next_unused(v)
+            if e is None:
+                return out
+            out.append(e)
+            used[e] = True
+            n_left -= 1
+            v = edges[e][1]
+
+    def maximize_walk(walk: list[int]) -> None:
+        # splice loops into the walk at any vertex with unused
+        # out-edges (PolylineBuilder.maximizeWalk)
+        i = 0
+        while i <= len(walk):
+            v = edges[walk[0]][0] if i == 0 else edges[walk[i - 1]][1]
+            if next_unused(v) is not None:
+                loop = build_walk(v)
+                walk[i:i] = loop
+            else:
+                i += 1
+
+    for e in range(len(edges)):
+        v = edges[e][0]
+        if used[e]:
+            continue
+        if out_deg.get(v, 0) - in_deg.get(v, 0) <= 0:
+            continue
+        w = build_walk(v)
+        if w:
+            polylines.append(w)
+    for w in polylines:
+        if n_left == 0:
+            break
+        maximize_walk(w)
+    for e in range(len(edges)):  # leftover pure loops
+        if n_left == 0:
+            break
+        if used[e]:
+            continue
+        w = build_walk(edges[e][0])
+        if w:
+            maximize_walk(w)
+            polylines.append(w)
+    return polylines

@@ -231,3 +231,62 @@ def test_polygon_layer_options_match_snap_cleanup():
         exp = sorted((cleaned[i], cleaned[(i + 1) % len(cleaned)])
                      for i in range(len(cleaned))) if cleaned else []
         assert sorted(kept) == exp, (chain, cleaned, kept)
+
+
+# ---------------------------------------------------------------------------
+# Assembly: directed loops and polylines
+# ---------------------------------------------------------------------------
+
+def test_get_directed_loops_simple():
+    """Mirror of getDirectedLoopsDegenerateEdges (GraphUnitTest.kt:64):
+    a degenerate edge, a square, and a sibling pair partition into
+    simple loops of sizes 1, 4 and 2."""
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        get_directed_loops
+    edges = [(9, 9),
+             (0, 1), (1, 2), (2, 3), (3, 0),
+             (5, 6), (6, 5)]
+    loops = get_directed_loops(edges)
+    assert sorted(len(l) for l in loops) == [1, 2, 4]
+    # every edge used exactly once
+    assert sorted(e for l in loops for e in l) == list(range(7))
+
+
+def test_get_directed_loops_open_chain_raises():
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        get_directed_loops
+    with pytest.raises(ValueError, match="open chain"):
+        get_directed_loops([(0, 1), (1, 2)])
+
+
+def test_build_polylines_paths():
+    """Directed PATH semantics: interior vertices have in == out == 1;
+    branches and chain ends split paths; an isolated degenerate edge is
+    its own loop-path."""
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        build_polylines
+    edges = [(5, 5), (0, 1), (1, 2), (2, 3), (2, 4)]
+    got = build_polylines(edges, "path")
+    assert sorted(map(tuple, got)) == sorted(
+        [(1, 2), (3,), (4,), (0,)])
+
+
+def test_build_polylines_walks_consume_all_edges_greedily():
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        build_polylines
+    # vertex 1 has outdegree > indegree: one maximal walk takes all
+    got = build_polylines([(0, 1), (1, 0), (1, 2)], "walk")
+    assert got == [[1, 0, 2]]
+
+
+def test_build_polylines_walks_splice_loops():
+    """A leftover loop sharing a vertex with a walk is spliced into it
+    (PolylineBuilder.maximizeWalk) instead of emitted standalone."""
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        build_polylines
+    edges = [(0, 4), (0, 1), (1, 2), (2, 0), (3, 0)]
+    got = build_polylines(edges, "walk")
+    assert got == [[4, 1, 2, 3, 0]]
+    # pure loops with no walk to join become closed walks
+    got = build_polylines([(0, 1), (1, 0)], "walk")
+    assert got == [[0, 1]]
