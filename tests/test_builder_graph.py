@@ -290,3 +290,68 @@ def test_build_polylines_walks_splice_loops():
     # pure loops with no walk to join become closed walks
     got = build_polylines([(0, 1), (1, 0)], "walk")
     assert got == [[0, 1]]
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+    edge_lists = st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), max_size=24)
+
+    def _counts(edges):
+        from collections import Counter
+        return Counter(edges)
+
+    @given(edge_lists)
+    @settings(max_examples=150, deadline=None)
+    def test_sibling_discard_preserves_directed_imbalance(edges):
+        """SiblingPairs.DISCARD (directed) keeps exactly the per-pair
+        excess: count(a,b) - count(b,a) copies where positive, for
+        non-degenerate edges."""
+        opts = GraphOptions(D, DE.KEEP, DUP.KEEP, SP.DISCARD)
+        kept, _ids, err = process_edges(opts, list(edges))
+        assert err is None
+        cin = _counts(e for e in edges if e[0] != e[1])
+        kept_nondeg = _counts(e for e in kept if e[0] != e[1])
+        for e, k in kept_nondeg.items():
+            assert k == max(0, cin[e] - cin[(e[1], e[0])])
+        for e, c in cin.items():
+            if c > cin[(e[1], e[0])]:
+                assert kept_nondeg[e] == c - cin[(e[1], e[0])]
+
+    @given(edge_lists)
+    @settings(max_examples=150, deadline=None)
+    def test_create_makes_every_edge_have_a_sibling(edges):
+        opts = GraphOptions(D, DE.KEEP, DUP.KEEP, SP.CREATE)
+        kept, _ids, err = process_edges(opts, list(edges))
+        assert err is None
+        c = _counts(kept)
+        for (a, b), k in c.items():
+            if a != b:
+                assert c[(b, a)] == k, (edges, kept)
+        assert opts.edge_type == D
+
+    @given(edge_lists)
+    @settings(max_examples=150, deadline=None)
+    def test_merge_yields_distinct_edges_with_union_ids(edges):
+        ids = [[k] for k in range(len(edges))]
+        opts = GraphOptions(D, DE.KEEP, DUP.MERGE, SP.KEEP)
+        kept, kept_ids, err = process_edges(opts, list(edges), ids)
+        assert err is None
+        assert len(set(kept)) == len(kept)
+        # every input id survives somewhere, attached to its own edge
+        for e, i in zip(kept, kept_ids):
+            for input_id in i:
+                assert edges[input_id] == e
+        assert sorted(x for i in kept_ids for x in i) == \
+            sorted(range(len(edges)))
