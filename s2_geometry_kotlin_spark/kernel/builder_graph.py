@@ -403,3 +403,36 @@ def build_polylines(edges: list[tuple[int, int]],
             maximize_walk(w)
             polylines.append(w)
     return polylines
+
+
+def assemble_polygon(vertices, edges: list[tuple[int, int]],
+                     keep_degeneracies: bool = False):
+    """Polygon-layer assembly on an index graph (S2PolygonLayer.build /
+    S2LaxPolygonLayer semantics): normalize the edge multiset with the
+    polygon policy, then stitch simple loops.
+
+    Default (S2PolygonLayer, DegenerateBoundaries discarded): policy =
+    DISCARD degenerate edges + DISCARD sibling pairs; returns
+    (rings, []) where rings are vertex-index loops.
+
+    keep_degeneracies (the S2LaxPolygonLayer DegenerateBoundaries.KEEP
+    path): policy = DISCARD_EXCESS for both, so degeneracies not
+    redundant with the solid boundary survive; they are classified as
+    shells/holes with the B5 finder (kernel/degeneracies.py) and
+    returned as (rings, [PolygonDegeneracy-on-kept-edge-list...],
+    kept_edges)."""
+    if not keep_degeneracies:
+        opts = GraphOptions(EdgeType.DIRECTED, DegenerateEdges.DISCARD,
+                            DuplicateEdges.KEEP, SiblingPairs.DISCARD)
+        kept, _ids, _err = process_edges(opts, edges)
+        loops = get_directed_loops(kept)
+        return ([[kept[e][0] for e in loop] for loop in loops], [])
+    from .degeneracies import find_polygon_degeneracies
+    opts = GraphOptions(EdgeType.DIRECTED, DegenerateEdges.DISCARD_EXCESS,
+                        DuplicateEdges.KEEP, SiblingPairs.DISCARD_EXCESS)
+    kept, _ids, _err = process_edges(opts, edges)
+    degs = find_polygon_degeneracies(vertices, kept)
+    deg_ids = {d.edge_id for d in degs}
+    solid = [e for i, e in enumerate(kept) if i not in deg_ids]
+    loops = get_directed_loops(solid)
+    return ([[solid[e][0] for e in loop] for loop in loops], degs, kept)

@@ -182,3 +182,38 @@ def test_adjacent_fixture_layer_builds():
         # center sits ON the former shared chain -> probe just off it
         assert poly.contains_point(pt(la, lo + 0.01))
         assert poly.contains_point(pt(la, lo - 0.01))
+
+
+def test_grid_tiling_union_fold_random_orders():
+    """Compositional shared-boundary stress: a 3x2 grid of quads tiling
+    a rectangle, union-folded in random orders.  Every intermediate
+    union shares whole border chains with the next tile (including
+    junction vertices of earlier merges), so this exercises repeated
+    shared-edge classification + junction stitching.  The final result
+    must equal the bounding rectangle by area and membership."""
+    import random
+
+    rng = random.Random(3)
+    lat_cuts = [0, 7, 14]
+    lng_cuts = [0, 6, 12, 18]
+    tiles = []
+    for i in range(2):
+        for j in range(3):
+            la0, la1 = lat_cuts[i], lat_cuts[i + 1]
+            lo0, lo1 = lng_cuts[j], lng_cuts[j + 1]
+            tiles.append(Polygon([Loop.from_latlng_text(
+                f"{la0}:{lo0}, {la0}:{lo1}, {la1}:{lo1}, {la1}:{lo0}")]))
+    total_area = sum(polygon_area(t) for t in tiles)
+    probes = [(3, 3), (3, 9), (3, 15), (10, 3), (10, 9), (10, 15),
+              (3, 21), (-2, 9), (16, 9), (10, -1)]
+    exp = [any(t.contains_point(pt(*p)) for t in tiles) for p in probes]
+    for _ in range(6):
+        order = list(range(len(tiles)))
+        rng.shuffle(order)
+        acc = tiles[order[0]]
+        for k in order[1:]:
+            acc = polygon_boolean(acc, tiles[k], "union")
+        got = [acc.contains_point(pt(*p)) for p in probes]
+        assert got == exp, order
+        assert math.isclose(polygon_area(acc), total_area,
+                            rel_tol=1e-11), order

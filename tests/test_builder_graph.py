@@ -355,3 +355,34 @@ if HAVE_HYP:
                 assert edges[input_id] == e
         assert sorted(x for i in kept_ids for x in i) == \
             sorted(range(len(edges)))
+
+
+def test_assemble_polygon_discards_and_classifies_degeneracies():
+    """End-to-end over the substrate: a square with an interior sibling
+    spike and an exterior one.  The plain polygon layer discards both;
+    the degeneracy-keeping layer keeps them (DISCARD_EXCESS) and the
+    B5 finder classifies interior as hole, exterior as shell."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        assemble_polygon
+
+    lls = [(-1, -1), (-1, 1), (1, 1), (1, -1),   # square 0..3
+           (0.0, 0.0), (5.0, 5.0)]               # interior pt, exterior pt
+    lat = np.array([p[0] for p in lls], dtype=np.float64)
+    lon = np.array([p[1] for p in lls], dtype=np.float64)
+    x, y, z = ck.latlng_deg_to_xyz(lat, lon)
+    verts = np.stack([x, y, z], axis=1)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0),
+             (0, 4), (4, 0),    # interior spike (sibling pair)
+             (2, 5), (5, 2)]    # exterior spike
+    rings, degs = assemble_polygon(verts, edges)
+    assert len(rings) == 1 and sorted(rings[0]) == [0, 1, 2, 3]
+    assert degs == []
+    rings, degs, kept = assemble_polygon(verts, edges,
+                                         keep_degeneracies=True)
+    assert len(rings) == 1 and sorted(rings[0]) == [0, 1, 2, 3]
+    verdicts = {tuple(sorted(kept[d.edge_id])): d.is_hole for d in degs}
+    assert verdicts == {(0, 4): True, (2, 5): False}
+    assert len(degs) == 4  # both directions of both spikes
