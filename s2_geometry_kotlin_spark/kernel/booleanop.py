@@ -65,9 +65,11 @@ def oriented_boundary_loops(poly: Polygon) -> list[np.ndarray]:
     as a disc (S2Polygon.kt:83-84 normalization), so odd-depth loops
     (holes) are reversed back to hole orientation."""
     if getattr(poly, "inverted", False):
-        raise NotImplementedError(
-            "boolean ops on inverted (more-than-half-sphere) polygons "
-            "require the complement form; invert the operands instead")
+        # internal invariant: polygon_boolean strips inversion via the
+        # complement identities before classification reaches here
+        raise AssertionError(
+            "oriented_boundary_loops called with an inverted polygon; "
+            "use Polygon.complement() first")
     depths = loop_depths(poly)
     out = []
     for lp, d in zip(poly.loops, depths):
@@ -353,9 +355,45 @@ def polygon_boolean(a: Polygon, b: Polygon, op: str,
     S2BooleanOperation.OpType.SYMMETRIC_DIFFERENCE (S2BooleanOperation.kt
     opType) as (A-B) xor-composed with (B-A).  With snap_on_failure, a
     stitch failure triggers one B1 snap-rounding pass over both
-    operands and a retry (dirty-input ingestion, see inline note)."""
+    operands and a retry (dirty-input ingestion, see inline note).
+    Inverted (more-than-half-sphere) operands are supported via the
+    complement identities — see the reduction block below."""
     if op not in OPS:
         raise ValueError(f"op must be one of {OPS}")
+    ai = getattr(a, "inverted", False)
+    bi = getattr(b, "inverted", False)
+    if ai or bi:
+        # inverted (more-than-half-sphere) operands reduce to ops on
+        # their complements via De Morgan / difference identities
+        # (S2Polygon.initToComplement composition); the result may need
+        # one final complement, which is a parity-bit flip.
+        a0 = a.complement() if ai else a
+        b0 = b.complement() if bi else b
+        s = snap_on_failure
+        if op == "symmetric_difference":
+            res = polygon_boolean(a0, b0, op, s)
+            return res.complement() if (ai != bi) else res
+        if op == "intersection":
+            if ai and bi:   # c(A).c(B) = c(A+B)
+                return polygon_boolean(a0, b0, "union", s).complement()
+            if ai:          # c(A).B = B-A
+                return polygon_boolean(b0, a0, "difference", s)
+            return polygon_boolean(a0, b0, "difference", s)  # A.c(B)=A-B
+        if op == "union":
+            if ai and bi:   # c(A)+c(B) = c(A.B)
+                return polygon_boolean(a0, b0, "intersection",
+                                       s).complement()
+            if ai:          # c(A)+B = c(A-B)
+                return polygon_boolean(a0, b0, "difference",
+                                       s).complement()
+            return polygon_boolean(b0, a0, "difference",  # A+c(B)=c(B-A)
+                                   s).complement()
+        # difference
+        if ai and bi:       # c(A)-c(B) = B-A
+            return polygon_boolean(b0, a0, "difference", s)
+        if ai:              # c(A)-B = c(A+B)
+            return polygon_boolean(a0, b0, "union", s).complement()
+        return polygon_boolean(a0, b0, "intersection", s)  # A-c(B)=A.B
     if snap_on_failure:
         try:
             return polygon_boolean(a, b, op, snap_on_failure=False)
@@ -453,6 +491,11 @@ def polygon_boolean_full(a: Polygon, b: Polygon, op: str,
     res = BooleanResult(poly)
     if model == "SEMI_OPEN":
         return res
+    if getattr(a, "inverted", False) or getattr(b, "inverted", False):
+        raise NotImplementedError(
+            "OPEN/CLOSED degeneracy emission for inverted operands is "
+            "out of scope; complement the operands (Polygon.complement) "
+            "and map the op accordingly")
     la = oriented_boundary_loops(a)
     lb = oriented_boundary_loops(b)
     sub_a, sub_b = _split_edges(la, lb)

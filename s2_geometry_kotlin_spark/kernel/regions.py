@@ -868,6 +868,15 @@ class Polygon:
             if contained_origin[origin_idx] != polygon_contains_origin:
                 self.inverted = True
 
+    def complement(self) -> "Polygon":
+        """The complementary region (S2Polygon.initToComplement): same
+        stored loops, flipped xor-parity bit — containment and bounds
+        invert, boundaries coincide."""
+        q = Polygon.__new__(Polygon)
+        q.loops = self.loops
+        q.inverted = not self.inverted
+        return q
+
     def contains_point(self, p: np.ndarray) -> bool:
         inside = self.inverted
         for lp in self.loops:

@@ -217,3 +217,62 @@ def test_grid_tiling_union_fold_random_orders():
         assert got == exp, order
         assert math.isclose(polygon_area(acc), total_area,
                             rel_tol=1e-11), order
+
+
+def test_inverted_operand_booleans():
+    """Operands representing MORE than half the sphere (the Polygon
+    `inverted` parity bit) reduce through complement identities; the
+    round-3 code raised NotImplementedError here."""
+    from s2_geometry_kotlin_spark.sources.layers import \
+        regular_loop_vertices
+
+    PARIS = (48.8566, 2.3522)
+    big = Polygon([Loop(regular_loop_vertices(*PARIS, 120.0, 24))])
+    small = Polygon([Loop(regular_loop_vertices(*PARIS, 2.0, 16))])
+    assert big.inverted and not small.inverted
+
+    def area_r(p):
+        a = polygon_area(p)
+        return 4 * math.pi - a if p.inverted else a
+
+    probes = [pt(*PARIS), pt(48.0, 10.0), pt(-48.8566, -177.65),
+              pt(-20.0, -150.0), pt(49.5, 2.36)]
+
+    def member(p):
+        return [p.contains_point(q) for q in probes]
+
+    cases = {
+        "intersection": lambda x, y: x and y,
+        "union": lambda x, y: x or y,
+        "difference": lambda x, y: x and not y,
+        "symmetric_difference": lambda x, y: x != y,
+    }
+    mb, ms = member(big), member(small)
+    for op, rule in cases.items():
+        res = polygon_boolean(big, small, op)
+        assert member(res) == [rule(x, y) for x, y in zip(mb, ms)], op
+        res = polygon_boolean(small, big, op)
+        assert member(res) == [rule(y, x) for x, y in zip(mb, ms)], op
+    # area identities: small is strictly inside big
+    assert math.isclose(area_r(polygon_boolean(big, small,
+                                               "intersection")),
+                        area_r(small), rel_tol=1e-12)
+    assert math.isclose(area_r(polygon_boolean(big, small, "union")),
+                        area_r(big), rel_tol=1e-12)
+    assert math.isclose(area_r(polygon_boolean(big, small,
+                                               "difference")),
+                        area_r(big) - area_r(small), rel_tol=1e-9)
+    assert len(polygon_boolean(small, big, "difference").loops) == 0
+    # both inverted: union of two > half-sphere caps covers the sphere
+    # minus the intersection of their complements
+    big2 = Polygon([Loop(regular_loop_vertices(-48.8566, -177.6478,
+                                               120.0, 24))])
+    assert big2.inverted
+    u = polygon_boolean(big, big2, "union")
+    i = polygon_boolean(big, big2, "intersection")
+    mb2 = member(big2)
+    assert member(u) == [x or y for x, y in zip(mb, mb2)]
+    assert member(i) == [x and y for x, y in zip(mb, mb2)]
+    # inclusion-exclusion on the pair
+    assert math.isclose(area_r(u) + area_r(i),
+                        area_r(big) + area_r(big2), rel_tol=1e-9)
