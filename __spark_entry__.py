@@ -627,6 +627,43 @@ def q_cell_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_session_state(events)
 
 
+def q_cell_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (F.session_window, the declarative sessionization
+    operator): per-cell activity sessions with a 2-hour idle gap — the
+    batch twin of streaming.cell_session_windows, same plan."""
+    from s2_geometry_kotlin_spark import streaming as st
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return st.cell_session_windows(ev)
+
+
+def _cell_sessions_gap_oracle_sql() -> str:
+    """Independent sessionization: lag/cumsum break detection in SQL
+    (a different algorithm than Spark's window-merge), same definition:
+    a break when an event arrives >= 2 hours after the previous one in
+    its cell; session_end = last event + gap."""
+    from s2_geometry_kotlin_spark.functions import sqlgen
+    src = ("SELECT event_id, ts, user_id, "
+           "((user_id * 7919 + 12345) % 160000001 - 80000000) / 1e6 "
+           "AS lat, "
+           "((user_id * 104729 + 54321) % 360000001 - 180000000) / 1e6 "
+           "AS lon FROM events")
+    return (sqlgen.cellid_from_latlng_query(src, "event_id, ts, user_id")
+            + ",\nev AS (SELECT "
+            + sqlgen.parent_sql("cell_id", 8) + " AS cell_l8, ts, "
+            "user_id FROM henc),\n"
+            "m AS (SELECT *, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY cell_l8 ORDER BY ts) IS NULL OR "
+            "ts >= lag(ts) OVER (PARTITION BY cell_l8 ORDER BY ts) "
+            "+ INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk FROM ev),\n"
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY cell_l8 "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)\n"
+            "SELECT MIN(ts) AS session_start, "
+            "MAX(ts) + INTERVAL 2 HOUR AS session_end, cell_l8, "
+            "COUNT(*) AS n_events, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM s GROUP BY cell_l8, sid")
+
+
 def _cell_sessions_oracle_sql() -> str:
     from s2_geometry_kotlin_spark.functions import sqlgen
     src = ("SELECT event_id, ts, user_id, "
@@ -671,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_project_simplified": q_route_project_simplified,
         "pages_in_snapped_layer": q_pages_in_snapped_layer,
         "cell_sessions_batch": q_cell_sessions_batch,
+        "cell_sessions_gap": q_cell_sessions_gap,
         "token_stats": ts.q_token_stats,
         "bpe_token_stats": ts.q_bpe_token_stats,
         "quality": ts.q_quality,
@@ -807,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
             route_project_sql(_routes_simplified(), ROUTE_RADIUS_RAD)),
         "pages_in_snapped_layer": _snapped_oracle_sql(),
         "cell_sessions_batch": _cell_sessions_oracle_sql(),
+        "cell_sessions_gap": _cell_sessions_gap_oracle_sql(),
         "token_stats": ts.token_stats_sql(),
         "bpe_token_stats": ts.bpe_token_stats_sql(),
         "quality": ts.quality_sql(),

@@ -66,6 +66,54 @@ def stream_events_from_dir(spark: SparkSession, events_dir: str,
             .parquet(events_dir))
 
 
+def cell_session_windows(df: DataFrame, level: int = 8,
+                         gap: str = "2 hours",
+                         watermark: str = "12 hours") -> DataFrame:
+    """Per-cell activity SESSIONS via the declarative session-window
+    operator (F.session_window): a session extends while consecutive
+    events in the cell arrive within `gap` of each other and closes at
+    last_event + gap (the default splits the synthetic event density
+    into a few hundred sessions per 1k events).  The same plan runs in batch and streaming —
+    Catalyst owns the merge logic (the Spark-first alternative to the
+    applyInPandasWithState tracker above); streaming adds the watermark
+    so windows can finalize.  n_users is exact (collect_set) — bounded
+    by per-session distinct users, which the gap bounds in turn."""
+    tagged = geotag_events(df).withColumn(
+        f"cell_l{level}", s2f.cell_parent(F.col("cell_id"), level))
+    if tagged.isStreaming:
+        tagged = tagged.withWatermark("ts", watermark)
+    return (tagged
+            .groupBy(F.session_window("ts", gap).alias("w"),
+                     f"cell_l{level}")
+            .agg(F.count("*").alias("n_events"),
+                 F.size(F.collect_set("user_id")).cast("bigint")
+                 .alias("n_users"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    f"cell_l{level}", "n_events", "n_users"))
+
+
+def run_session_stream_to_memory(spark: SparkSession, events_dir: str,
+                                 table: str = "stream_sessions",
+                                 watermark: str = "12 hours") -> None:
+    """Drive the session-window aggregation to a memory sink (complete
+    mode re-emits the full session table each batch, so the final table
+    equals the batch computation without waiting for the watermark).
+
+    Watermark caveat for REPLAYS: the watermark lags the max event time
+    seen so far, so replaying a long history from files that are not in
+    chronological order marks most events late and drops them — correct
+    streaming semantics, wrong for a backfill.  Replays must either
+    feed files in event-time order or pass a watermark wider than the
+    historical span (live in-order streams keep the tight default)."""
+    src = stream_events_from_dir(spark, events_dir)
+    agg = cell_session_windows(src, watermark=watermark)
+    q = (agg.writeStream.format("memory").queryName(table)
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+
+
 def run_stream_to_memory(spark: SparkSession, events_dir: str,
                          table: str = "stream_cells") -> None:
     """Drive the windowed aggregation to a memory sink until all input

@@ -184,3 +184,30 @@ def test_stateful_parquet_sink_resumes_without_driver_collect(
     expect = {tuple(r) for r in expect_df.collect()}
     assert got == expect
     assert len(got) > 0
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path_factory):
+    """Declarative session windows (F.session_window): the streaming
+    aggregation in complete mode converges to the batch computation on
+    the same events, including sessions still open at end-of-input."""
+    from s2_geometry_kotlin_spark import streaming as st
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events_dir = str(tmp_path_factory.mktemp("events_sessions"))
+    batch = spark.read.parquet(src)
+    batch.repartition(3).write.mode("overwrite").parquet(events_dir)
+
+    # the replayed files are NOT in event-time order (repartition
+    # shuffles a month of history), so the watermark must exceed the
+    # span or late-drop semantics kick in — see the operator docstring
+    st.run_session_stream_to_memory(spark, events_dir,
+                                    table="stream_sessions",
+                                    watermark="40 days")
+    got = {tuple(r) for r in spark.table("stream_sessions").collect()}
+    expect_df = st.cell_session_windows(spark.read.parquet(events_dir))
+    expect = {tuple(r) for r in expect_df.collect()}
+    assert got == expect
+    # the 6h gap over 30 days of sparse events must actually split
+    # cells into multiple sessions, else the operator isn't exercised
+    cells = [t[2] for t in expect]
+    assert len(cells) > len(set(cells))
