@@ -367,3 +367,99 @@ def run_stateful_stream_to_memory(spark: SparkSession, events_dir: str,
     else:
         df = spark.createDataFrame([], schema=CELL_STATE_SCHEMA)
     df.createOrReplaceTempView(table)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator, event-time variant: per-cell SESSIONS with
+# EventTimeTimeout — sessions close when the WATERMARK passes
+# last_event + gap, so results are driven by event time, not wall
+# clock, and bounded runs terminate normally (no ProcessingTimeTimeout
+# drain trap: the engine only evaluates event-time timeouts when a
+# batch advances the watermark, so processAllAvailable settles).
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = ("cell_l8 long, session_start timestamp, "
+                      "last_seen timestamp, n_events long, n_users long")
+_SESSION_STATE_SCHEMA = ("start timestamp, last timestamp, n long, "
+                         "kmv array<long>")
+
+
+def cell_sessions_event_time(df: DataFrame, level: int = 8,
+                             gap_s: int = 7200,
+                             watermark: str = "1 minute") -> DataFrame:
+    """Custom stateful sessionizer (applyInPandasWithState +
+    GroupStateTimeout.EventTimeTimeout): per-cell sessions split on a
+    `gap_s` idle gap in EVENT time.  A session closes either inline
+    (a later event in the same cell arrives past the gap) or via the
+    event-time timeout when the watermark passes last_seen + gap —
+    output rows are CLOSED sessions only, the streaming-native contract
+    (late events within the watermark still extend their session;
+    cell_session_windows is the declarative twin that re-emits open
+    sessions instead)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    tagged = geotag_events(df).withColumn(
+        "cell_l8", s2f.cell_parent(F.col("cell_id"), level))
+    if not tagged.isStreaming:
+        raise ValueError("event-time sessionizer is streaming-only; "
+                         "use cell_session_windows for batch")
+    tagged = tagged.withWatermark("ts", watermark)
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        def row(start, last, n, kmv):
+            return pd.DataFrame(
+                {"cell_l8": [key[0]], "session_start": [start],
+                 "last_seen": [last], "n_events": [n],
+                 "n_users": [_kmv_estimate(kmv)]})
+
+        if state.hasTimedOut:
+            start, last, n, kmv = state.get
+            state.remove()
+            yield row(start, last, n, list(kmv))
+            return
+        if state.exists:
+            start, last, n, kmv = state.get
+            kmv = list(kmv)
+        else:
+            start = last = None
+            n = 0
+            kmv = []
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, uid in zip(events["ts"], events["user_id"]):
+            if last is not None and ts - last > gap:
+                yield row(start, last, n, kmv)  # closed inline
+                start, n, kmv = None, 0, []
+            if start is None:
+                start = ts
+            last = ts if last is None or ts > last else last
+            h = int(_kmv_hashes(np.array([uid], dtype=np.int64))[0])
+            if h not in kmv:
+                kmv = sorted(set(kmv) | {h})[:KMV_K]
+            n += 1
+        state.update((start, last, n, kmv))
+        state.setTimeoutTimestamp(int(
+            (last + gap).value // 10**6))  # epoch millis
+    return (tagged.groupBy("cell_l8")
+            .applyInPandasWithState(
+                update, SESSION_OUT_SCHEMA, _SESSION_STATE_SCHEMA,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def run_event_sessions_to_memory(spark: SparkSession, events_dir: str,
+                                 table: str = "event_sessions",
+                                 gap_s: int = 7200) -> None:
+    """Bounded run of the event-time sessionizer: processAllAvailable
+    terminates normally (event-time timeouts fire inside data batches
+    as the watermark advances — no drain-poll driver needed)."""
+    src = stream_events_from_dir(spark, events_dir)
+    out = cell_sessions_event_time(src, gap_s=gap_s)
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()

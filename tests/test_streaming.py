@@ -211,3 +211,58 @@ def test_session_windows_stream_matches_batch(spark, tmp_path_factory):
     # cells into multiple sessions, else the operator isn't exercised
     cells = [t[2] for t in expect]
     assert len(cells) > len(set(cells))
+
+
+def test_event_time_sessions_match_batch(spark, tmp_path_factory):
+    """EventTimeTimeout sessionizer: chronological replay closes every
+    session either inline (next event past the gap) or via the
+    event-time timeout once a sentinel event advances the watermark;
+    the closed-session table equals the batch sessionization."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from s2_geometry_kotlin_spark import streaming as st
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events_dir = str(tmp_path_factory.mktemp("events_evt"))
+    pdf = pd.read_parquet(src).sort_values("ts").reset_index(drop=True)
+    thirds = [pdf.iloc[:330], pdf.iloc[330:660], pdf.iloc[660:]]
+    for i, chunk in enumerate(thirds):
+        path = f"{events_dir}/part-{i}.parquet"
+        chunk.to_parquet(path, coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+        os.utime(path, (time.time() + i, time.time() + i))
+    # sentinel far-future event in a DISJOINT cell pushes the watermark
+    # past every real session's end
+    sentinel_user = 55_000_001
+    from s2_geometry_kotlin_spark import functions as s2f
+    real_cells = {r[0] for r in st.geotag_events(
+        spark.read.parquet(events_dir)).select(
+            s2f.cell_parent(F.col("cell_id"), 8)).distinct().collect()}
+    sent_cell = {r[0] for r in st.geotag_events(
+        spark.createDataFrame([(sentinel_user,)], "user_id long"))
+        .select(s2f.cell_parent(F.col("cell_id"), 8)).collect()}
+    assert not (real_cells & sent_cell)
+    _write_events(f"{events_dir}/part-9.parquet", [sentinel_user],
+                  "2024-06-01")
+    os.utime(f"{events_dir}/part-9.parquet",
+             (time.time() + 10, time.time() + 10))
+
+    st.run_event_sessions_to_memory(spark, events_dir,
+                                    table="event_sessions")
+    got = {tuple(r) for r in spark.table("event_sessions")
+           .where(~F.col("cell_l8").isin(*sent_cell)).collect()}
+    # batch expectation from the declarative twin: last = end - gap
+    exp_df = (st.cell_session_windows(spark.read.parquet(src))
+              .select("cell_l8", "session_start",
+                      (F.col("session_end")
+                       - F.expr("INTERVAL 2 HOURS")).alias("last_seen"),
+                      "n_events", "n_users"))
+    exp = {(r["cell_l8"], r["session_start"], r["last_seen"],
+            r["n_events"], r["n_users"]) for r in exp_df.collect()}
+    assert got == exp
+    assert len(got) > 10  # real multi-session workload
