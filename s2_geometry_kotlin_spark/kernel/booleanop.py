@@ -36,13 +36,16 @@ with the next edge CLOCKWISE from the incoming direction in the tangent
 plane, which is exactly the vertex-crossing resolution P3's
 edgeOrVertexCrossing encodes (S2EdgeCrossings.kt:146-206).
 
-Remaining preconditions (the reference removes these with full S2Builder
-snap rounding; see builder_snap.py for the B1 path): polygons are valid;
-coincident features must match EXACTLY (a border shared by two layers
-must carry identical vertex coordinates in both — true for layer data
-ingested through one snap pass); no vertex-on-edge T-junctions where
-one operand's vertex lies in the interior of the other's edge.  Inputs
-violating this should be snapped first (snap_polygon).
+Remaining preconditions: polygons are valid, and coincident features
+either match EXACTLY (a border shared by two layers carrying identical
+vertex coordinates — true for layer data ingested through one snap
+pass) or are rescued by the auto-snap retry, which snaps the operand
+PAIR against one shared site set (snap_polygon_pair): T-junction
+incidences — a vertex of one operand in the interior of the other's
+edge — become exact shared sub-edges after the junction site splits
+the long edge.  The retry moves coordinates by at most the level-20
+snap radius (~10 m); callers needing exact input coordinates must
+pre-snap their layers to a shared grid instead.
 """
 
 from __future__ import annotations
@@ -408,13 +411,15 @@ def polygon_boolean(a: Polygon, b: Polygon, op: str,
             # Operands sharing exact vertices/edges with each other do
             # not need this rescue: _kept_subedges classifies exact
             # shared sub-edges directly (the CrossingProcessor
-            # vertex-crossing analogue), so only T-junction-style
-            # near-incidences reach the snap path.
-            from .builder_snap import CellIdSnap, snap_polygon
-            snap = CellIdSnap(20)
-            return polygon_boolean(snap_polygon(a, snap),
-                                   snap_polygon(b, snap), op,
-                                   snap_on_failure=False)
+            # vertex-crossing analogue).  T-junction-style incidences
+            # (a vertex of one operand on an edge of the other) DO
+            # reach this path, and the pair must snap against ONE
+            # shared site set: the junction vertex becomes a site that
+            # splits the other operand's edge, turning the T into
+            # exact shared sub-edges.
+            from .builder_snap import CellIdSnap, snap_polygon_pair
+            sa, sb = snap_polygon_pair(a, b, CellIdSnap(20))
+            return polygon_boolean(sa, sb, op, snap_on_failure=False)
     if op == "symmetric_difference":
         # compose at the SUB-EDGE level: kept(A-B) + kept(B-A), then
         # cancel exact sibling pairs — an edge kept by both legs in

@@ -374,17 +374,20 @@ def _drop_degeneracies(chain: list[int]) -> list[int]:
 
 
 def snap_loops(loops: list[np.ndarray], snap: SnapFunction,
-               simplify_edge_chains: bool = False) -> list[np.ndarray]:
+               simplify_edge_chains: bool = False,
+               sites: np.ndarray | None = None) -> list[np.ndarray]:
     """Snap-round a set of loops together (shared site set, so nearby
     vertices across loops merge consistently).  Returns the surviving
     snapped loops; degenerate loops (collapsed below 3 distinct sites)
     are dropped.  With simplify_edge_chains, chains of degree-2 sites
     are simplified per S2Builder options.simplifyEdgeChains
     (EdgeChainSimplifier, S2Builder.kt:1799-2200) while preserving the
-    snap guarantees — see _simplify_ring."""
+    snap guarantees — see _simplify_ring.  An explicit `sites` array
+    lets several layers share one site set (snap_polygon_pair)."""
     loops = [np.asarray(lv, dtype=np.float64) for lv in loops]
-    all_v = np.concatenate(loops, axis=0)
-    sites = choose_sites(all_v, snap)
+    if sites is None:
+        all_v = np.concatenate(loops, axis=0)
+        sites = choose_sites(all_v, snap)
     # pass 1: snap every loop, recording the input edge that produced
     # each output edge (owners[k] = input edge owning the ring edge
     # ARRIVING at verts[k]; owners[0] = the closing edge's owner)
@@ -571,3 +574,21 @@ def snap_polygon(poly: Polygon, snap: SnapFunction,
     snapped = snap_loops([lp.vertices for lp in poly.loops], snap,
                          simplify_edge_chains=simplify_edge_chains)
     return Polygon([Loop(v) for v in snapped])
+
+
+def snap_polygon_pair(a: Polygon, b: Polygon,
+                      snap: SnapFunction) -> tuple[Polygon, Polygon]:
+    """Snap-round TWO polygons against ONE shared site set — the
+    S2BooleanOperation ingestion shape (both operands feed the same
+    S2Builder).  A vertex of one operand lying on (or near) an edge of
+    the other becomes a shared site that splits that edge, so
+    T-junction incidences turn into exact shared sub-edges the boolean
+    classification handles; snapping the operands separately cannot do
+    this, because neither snap pass sees the other's vertices."""
+    la = [lp.vertices for lp in a.loops]
+    lb = [lp.vertices for lp in b.loops]
+    sites = choose_sites(np.concatenate(la + lb, axis=0), snap)
+    sa = snap_loops(la, snap, sites=sites)
+    sb = snap_loops(lb, snap, sites=sites)
+    return (Polygon([Loop(v) for v in sa]),
+            Polygon([Loop(v) for v in sb]))

@@ -276,3 +276,31 @@ def test_inverted_operand_booleans():
     # inclusion-exclusion on the pair
     assert math.isclose(area_r(u) + area_r(i),
                         area_r(big) + area_r(big2), rel_tol=1e-9)
+
+
+def test_t_junction_operands_rescued_by_pair_snap():
+    """A vertex of one operand in the INTERIOR of the other's edge (a
+    T-junction, the classic adjacent-but-differently-discretized
+    border): the auto-snap retry now snaps the PAIR against one shared
+    site set, so the junction vertices split the long edge and the
+    shared-boundary classification takes over.  Round-3 (and the
+    per-operand snap retry) failed the stitch here."""
+    a = Polygon([Loop.from_latlng_text("0:0, 0:10, 10:10, 10:0")])
+    # east neighbour attached to the MIDDLE of A's east edge
+    b = Polygon([Loop.from_latlng_text("3:10, 3:14, 7:14, 7:10")])
+    probes = [(5, 5), (5, 12), (5, 15), (1, 12), (5, 9.99), (5, 10.01)]
+    ma = [a.contains_point(pt(*p)) for p in probes]
+    mb = [b.contains_point(pt(*p)) for p in probes]
+    rules = {"union": lambda x, y: x or y,
+             "intersection": lambda x, y: x and y,
+             "difference": lambda x, y: x and not y,
+             "symmetric_difference": lambda x, y: x != y}
+    for op, rule in rules.items():
+        r = polygon_boolean(a, b, op)
+        got = [r.contains_point(pt(*p)) for p in probes]
+        assert got == [rule(x, y) for x, y in zip(ma, mb)], op
+    # area sanity on the union (snap at level 20 moves vertices ~10 m;
+    # tolerance reflects that, not the construction)
+    u = polygon_boolean(a, b, "union")
+    assert math.isclose(polygon_area(u),
+                        polygon_area(a) + polygon_area(b), rel_tol=1e-4)
