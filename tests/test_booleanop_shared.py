@@ -304,3 +304,61 @@ def test_t_junction_operands_rescued_by_pair_snap():
     u = polygon_boolean(a, b, "union")
     assert math.isclose(polygon_area(u),
                         polygon_area(a) + polygon_area(b), rel_tol=1e-4)
+
+
+def test_random_strip_tilings_boolean_identities():
+    """Randomized adversarial sweep: a rectangle cut into vertical
+    strips at random meridians (all strips share exact borders).
+    Identities checked per seed: union-fold == rectangle; rect minus
+    one strip == union of the others; xor of adjacent strips == their
+    union; intersection of non-adjacent strips == empty."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        n_cuts = rng.randrange(2, 5)
+        cuts = sorted(rng.sample(range(1, 20), n_cuts))
+        lngs = [0] + cuts + [20]
+        strips = [Polygon([Loop.from_latlng_text(
+            f"0:{lngs[i]}, 0:{lngs[i+1]}, 8:{lngs[i+1]}, 8:{lngs[i]}")])
+            for i in range(len(lngs) - 1)]
+        rect = Polygon([Loop.from_latlng_text("0:0, 0:20, 8:20, 8:0")])
+        probes = [(4, x + 0.5) for x in range(0, 20, 2)] + \
+            [(9, 5), (-1, 5), (4, 21)]
+
+        def member(p):
+            return [p.contains_point(pt(*q)) for q in probes]
+
+        order = list(range(len(strips)))
+        rng.shuffle(order)
+        acc = strips[order[0]]
+        for k in order[1:]:
+            acc = polygon_boolean(acc, strips[k], "union")
+        assert member(acc) == member(rect), (seed, cuts)
+        # NOTE: the union does NOT equal the rect exactly — the rect's
+        # top/bottom edges are single long geodesics while the strips
+        # chain shorter ones along the same parallels, different curves
+        # (thin lens-shaped slivers).  Probes sit away from those
+        # slivers; the exact identity is area(union) == sum of strip
+        # areas (disjoint interiors).
+        assert math.isclose(polygon_area(acc),
+                            sum(polygon_area(s) for s in strips),
+                            rel_tol=1e-11), (seed, cuts)
+        # rect minus strip k == union of the rest.  NOTE: rect's border
+        # vertices differ from the strips' cut vertices (T-junctions at
+        # the cuts), so this leg also exercises the pair-snap rescue;
+        # compare by membership at probes off the snapped seams
+        k = rng.randrange(len(strips))
+        rest = [s for i, s in enumerate(strips) if i != k]
+        acc2 = rest[0]
+        for s2 in rest[1:]:
+            acc2 = polygon_boolean(acc2, s2, "union")
+        d = polygon_boolean(rect, strips[k], "difference")
+        assert member(d) == member(acc2), (seed, cuts, k)
+        if len(strips) >= 3:
+            x = polygon_boolean(strips[0], strips[1],
+                                "symmetric_difference")
+            u = polygon_boolean(strips[0], strips[1], "union")
+            assert member(x) == member(u), (seed, cuts)
+            i = polygon_boolean(strips[0], strips[2], "intersection")
+            assert len(i.loops) == 0, (seed, cuts)
