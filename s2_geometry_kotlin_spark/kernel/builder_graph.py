@@ -309,9 +309,9 @@ def build_polylines(edges: list[tuple[int, int]],
       indegree, then leftover loops are spliced into walks passing
       through a shared vertex, else emitted as closed walks.
 
-    Undirected graphs are normalized to directed first (process_edges
-    with SiblingPairs.REQUIRE/CREATE flips edge_type), so only the
-    directed form is implemented here."""
+    Undirected graphs either normalize to directed first
+    (process_edges with SiblingPairs.REQUIRE/CREATE flips edge_type)
+    or assemble directly with build_polylines_undirected."""
     out_map, in_deg = _degree_maps(edges)
     out_deg = {v: len(es) for v, es in out_map.items()}
     used = [False] * len(edges)
@@ -436,3 +436,133 @@ def assemble_polygon(vertices, edges: list[tuple[int, int]],
     solid = [e for i, e in enumerate(kept) if i not in deg_ids]
     loops = get_directed_loops(solid)
     return ([[solid[e][0] for e in loop] for loop in loops], degs, kept)
+
+
+def _sibling_map(edges: list[tuple[int, int]]) -> list[int]:
+    """Pair each directed edge with its reverse (k-th copy with k-th
+    copy — Graph.makeSiblingMap); degenerate edges pair among
+    themselves.  Raises if the multiset is not sibling-balanced, the
+    undirected-graph representation invariant."""
+    from collections import defaultdict, deque
+    pools: dict = defaultdict(deque)
+    for i, e in enumerate(edges):
+        pools[e].append(i)
+    sib = [-1] * len(edges)
+    for i, (a, b) in enumerate(edges):
+        if sib[i] != -1:
+            continue
+        pool = pools[(b, a)]
+        j = -1
+        while pool:
+            cand = pool.popleft()
+            if cand != i and sib[cand] == -1:
+                j = cand
+                break
+            if cand == i and (a, b) == (b, a) and pool:
+                # degenerate: put back and take the next copy
+                nxt = pool.popleft()
+                if sib[nxt] == -1:
+                    j = nxt
+                    break
+        if j == -1:
+            raise ValueError(
+                "undirected graph requires sibling-paired edges")
+        sib[i], sib[j] = j, i
+    return sib
+
+
+def build_polylines_undirected(edges: list[tuple[int, int]],
+                               polyline_type: str = "path"
+                               ) -> list[list[int]]:
+    """PolylineBuilder for UNDIRECTED graphs (each undirected edge is a
+    sibling pair of directed copies; using an edge consumes its
+    sibling).  Interior vertices have out-degree exactly 2; walk starts
+    have odd degree (PolylineBuilder.kt is_interior/excess_degree)."""
+    sib = _sibling_map(edges)
+    out_map, _ = _degree_maps(edges)
+    out_deg = {v: len(es) for v, es in out_map.items()}
+    used = [False] * len(edges)
+    n_left = len(edges) // 2
+
+    def is_interior(v: int) -> bool:
+        return out_deg.get(v, 0) == 2
+
+    def use(e: int):
+        nonlocal n_left
+        used[e] = True
+        used[sib[e]] = True
+        n_left -= 1
+
+    def next_unused(v: int, exclude: int = -1):
+        return next((k for k in out_map.get(v, ())
+                     if not used[k] and k != exclude), None)
+
+    polylines: list[list[int]] = []
+    if polyline_type == "path":
+        def build_path(e: int) -> list[int]:
+            out = [e]
+            start = edges[e][0]
+            use(e)
+            v = edges[e][1]
+            while is_interior(v) and v != start:
+                nxt = next_unused(v)
+                if nxt is None:
+                    break
+                out.append(nxt)
+                use(nxt)
+                v = edges[nxt][1]
+            return out
+
+        for e in range(len(edges)):
+            if not used[e] and not is_interior(edges[e][0]):
+                polylines.append(build_path(e))
+        for e in range(len(edges)):  # leftover loops
+            if n_left == 0:
+                break
+            if not used[e]:
+                polylines.append(build_path(e))
+        return polylines
+
+    if polyline_type != "walk":
+        raise ValueError("polyline_type must be 'path' or 'walk'")
+
+    def build_walk(v: int) -> list[int]:
+        out: list[int] = []
+        while True:
+            e = next_unused(v)
+            if e is None:
+                return out
+            out.append(e)
+            use(e)
+            v = edges[e][1]
+
+    def maximize_walk(walk: list[int]) -> None:
+        i = 0
+        while i <= len(walk):
+            v = edges[walk[0]][0] if i == 0 else edges[walk[i - 1]][1]
+            if next_unused(v) is not None:
+                walk[i:i] = build_walk(v)
+            else:
+                i += 1
+
+    for e in range(len(edges)):
+        v = edges[e][0]
+        if used[e] or out_deg.get(v, 0) % 2 == 0:
+            continue
+        w = build_walk(v)
+        if w:
+            polylines.append(w)
+    for w in polylines:
+        if n_left == 0:
+            break
+        maximize_walk(w)
+    for e in range(len(edges)):
+        if n_left == 0:
+            break
+        if used[e]:
+            continue
+        w = build_walk(edges[e][0])
+        if w:
+            maximize_walk(w)
+            polylines.append(w)
+    return polylines

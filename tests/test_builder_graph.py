@@ -386,3 +386,45 @@ def test_assemble_polygon_discards_and_classifies_degeneracies():
     verdicts = {tuple(sorted(kept[d.edge_id])): d.is_hole for d in degs}
     assert verdicts == {(0, 4): True, (2, 5): False}
     assert len(degs) == 4  # both directions of both spikes
+
+
+def _undirected(pairs):
+    """Each undirected input edge -> a sibling pair of directed copies."""
+    out = []
+    for a, b in pairs:
+        out.append((a, b))
+        out.append((b, a))
+    return out
+
+
+def test_undirected_degenerate_paths_mirrors_reference():
+    """getPolylinesUndirectedDegeneratePaths (GraphUnitTest.kt:138):
+    shapes '1:1,1:1' + '0:0,0:0, 0:1,0:1, 0:2,0:2' + '1:1,1:1' yield 7
+    paths.  Vertices: p (1:1) = 9; 0:0/0:1/0:2 = 0/1/2."""
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        build_polylines_undirected
+    pairs = [(9, 9)] + [(0, 0), (0, 1), (1, 1), (1, 2), (2, 2)] + [(9, 9)]
+    edges = _undirected(pairs)
+    polylines = build_polylines_undirected(edges, "path")
+    assert len(polylines) == 7
+    # every undirected edge used exactly once
+    assert sum(len(p) for p in polylines) == len(pairs)
+
+
+def test_undirected_degenerate_walks_mirrors_reference():
+    """getPolylinesUndirectedDegenerateWalks (GraphUnitTest.kt:154):
+    the same graph assembles into 2 maximal walks of sizes 2 and 5."""
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        build_polylines_undirected
+    pairs = [(9, 9)] + [(0, 0), (0, 1), (1, 1), (1, 2), (2, 2)] + [(9, 9)]
+    edges = _undirected(pairs)
+    polylines = build_polylines_undirected(edges, "walk")
+    assert sorted(len(p) for p in polylines) == [2, 5]
+
+
+def test_sibling_map_validates_balance():
+    from s2_geometry_kotlin_spark.kernel.builder_graph import \
+        _sibling_map
+    assert _sibling_map([(0, 1), (1, 0)]) == [1, 0]
+    with pytest.raises(ValueError, match="sibling-paired"):
+        _sibling_map([(0, 1)])
