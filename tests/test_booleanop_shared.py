@@ -362,3 +362,31 @@ def test_random_strip_tilings_boolean_identities():
             assert member(x) == member(u), (seed, cuts)
             i = polygon_boolean(strips[0], strips[2], "intersection")
             assert len(i.loops) == 0, (seed, cuts)
+
+
+def test_constructed_results_pass_validation():
+    """Every polygon built by the boolean ops must pass the validation
+    scanner (no self-intersections, no cross-loop crossings, no
+    duplicate vertices, no shared edges) — construction quality gate
+    over the shared-boundary fixtures."""
+    from s2_geometry_kotlin_spark.kernel.validation import \
+        find_validation_error
+
+    cases = []
+    for op in ("union", "intersection", "difference",
+               "symmetric_difference"):
+        cases.append(polygon_boolean(W, E, op))
+        cases.append(polygon_boolean(E, W, op))
+    big = Polygon([Loop.from_latlng_text(
+        "0:0, 0:10, 0:20, 10:20, 10:10, 10:0")])
+    west = quad(0, 10, 0, 10)
+    cases.append(polygon_boolean(big, west, "difference"))
+    # T-junction rescue output
+    a = Polygon([Loop.from_latlng_text("0:0, 0:10, 10:10, 10:0")])
+    b = Polygon([Loop.from_latlng_text("3:10, 3:14, 7:14, 7:10")])
+    cases.append(polygon_boolean(a, b, "union"))
+    for k, p in enumerate(cases):
+        if not p.loops:
+            continue
+        err = find_validation_error([lp.vertices for lp in p.loops])
+        assert err is None, (k, err)
