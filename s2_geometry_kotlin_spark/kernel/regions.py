@@ -868,6 +868,14 @@ class Polygon:
             if contained_origin[origin_idx] != polygon_contains_origin:
                 self.inverted = True
 
+    def is_valid(self) -> bool:
+        """No self-intersections, cross-loop crossings, duplicate
+        vertices or shared edges (S2Polygon.findValidationError via the
+        crossing-pairs scanner, kernel/validation.py)."""
+        from .validation import find_validation_error
+        return find_validation_error(
+            [lp.vertices for lp in self.loops]) is None
+
     def complement(self) -> "Polygon":
         """The complementary region (S2Polygon.initToComplement): same
         stored loops, flipped xor-parity bit — containment and bounds

@@ -76,3 +76,18 @@ def test_vertex_touch_without_crossing_is_valid():
     # two triangles meeting at exactly one vertex, wedges disjoint
     assert find_validation_error(
         [ring("-4:-4, 0:0, -4:4"), ring("4:4, 0:0, 4:-4")]) is None
+
+
+def test_every_fixture_layer_polygon_is_valid():
+    """The driver's polygon layers (cities, donut, reference fixtures,
+    boolean-op results, snapped layers, adjacent unions) all pass
+    validation — the invariant every join relies on."""
+    from s2_geometry_kotlin_spark.operators.booleans import (
+        adjacent_union_layer, result_layer)
+    from s2_geometry_kotlin_spark.sources.layers import fixture_layer
+    layers = list(fixture_layer()) + list(adjacent_union_layer())
+    for op in ("union", "intersection", "difference"):
+        layers += list(result_layer(op))
+    assert len(layers) > 25
+    for name, pid, poly in layers:
+        assert poly.is_valid(), (name, pid)
