@@ -91,3 +91,38 @@ def test_every_fixture_layer_polygon_is_valid():
     assert len(layers) > 25
     for name, pid, poly in layers:
         assert poly.is_valid(), (name, pid)
+
+
+def test_random_rings_property_sweep():
+    """Seeded sweep: jittered regular rings validate clean; injecting a
+    duplicate vertex or swapping two non-adjacent vertices (a bowtie)
+    is always caught."""
+    import random
+
+    from s2_geometry_kotlin_spark.sources.layers import \
+        regular_loop_vertices
+
+    rng = random.Random(42)
+    for trial in range(15):
+        nv = rng.randrange(6, 16)
+        base = regular_loop_vertices(rng.uniform(-60, 60),
+                                     rng.uniform(-170, 170),
+                                     rng.uniform(0.5, 4.0), nv)
+        # mild radial jitter keeps the ring simple
+        jit = base * (1.0 + 1e-4 * np.array(
+            [[rng.uniform(-1, 1)] * 3 for _ in range(nv)]))
+        jit = jit / np.linalg.norm(jit, axis=1, keepdims=True)
+        assert find_validation_error([jit]) is None, trial
+        # duplicate vertex
+        k = rng.randrange(nv)
+        dup = np.insert(jit, (k + 2) % nv, jit[k], axis=0)
+        err = find_validation_error([dup])
+        assert err is not None, trial
+        # bowtie via swapping two separated vertices
+        i, j = sorted(rng.sample(range(nv), 2))
+        if j - i >= 2 and not (i == 0 and j == nv - 1):
+            tw = jit.copy()
+            tw[[i, j]] = tw[[j, i]]
+            err = find_validation_error([tw])
+            assert err is not None and err[0] == LOOP_SELF_INTERSECTION, \
+                (trial, i, j)
