@@ -247,7 +247,13 @@ def _dominated(cov, winner: np.ndarray, loser: np.ndarray,
         return False  # equidistant along the whole edge: no dominance
     psi = math.atan2(q, p)
     half = 0.5 * math.pi
-    return psi - half < cov[0] and cov[1] < psi + half
+    # atan2 returns the principal branch; near +/-pi the window
+    # (psi-pi/2, psi+pi/2) must be compared modulo 2*pi against
+    # cov in [0, theta] or a dominated site is kept (ADVICE r4) —
+    # check all representatives that could reach [0, pi]
+    two_pi = 2.0 * math.pi
+    return any(p0 - half < cov[0] and cov[1] < p0 + half
+               for p0 in (psi, psi + two_pi, psi - two_pi))
 
 
 def _voronoi_exclusion(b: np.ndarray, c: np.ndarray, x: np.ndarray,

@@ -62,8 +62,14 @@ def contains_nested(a: Loop, b: Loop) -> bool:
     if a.is_empty_or_full() or b.is_empty_or_full():
         # reference: isEmptyOrFull() || b.isEmptyOrFull() short-circuits
         # to isFull() || b.isEmpty() — the full loop contains everything
-        # and every loop contains the empty loop (S2Loop.kt:771-772)
+        # and every loop contains the empty loop (S2Loop.kt:771-772);
+        # only 1-vertex canonical sentinels qualify
         return a.is_full() or b.is_empty()
+    if len(a.vertices) < 3 or len(b.vertices) < 3:
+        # malformed (2-vertex) input is neither a sentinel nor a valid
+        # loop; refuse rather than misclassify (ADVICE r4)
+        raise ValueError("contains_nested requires loops with >=3 "
+                         "vertices or 1-vertex sentinels")
     if not a.rect_bound().contains_rect(b.rect_bound()) and \
             not a.rect_bound().intersects_rect(b.rect_bound()):
         return False

@@ -646,9 +646,12 @@ class Loop:
         return Loop(np.array(pts, dtype=np.float64))
 
     def is_empty_or_full(self) -> bool:
-        """Sentinel loops (<3 vertices) encode the empty / full loop
-        (S2Loop.isEmptyOrFull); origin_inside distinguishes them."""
-        return len(self.vertices) < 3
+        """Canonical sentinel loops are exactly ONE vertex
+        (S2Loop.isEmptyOrFull is `numVertices == 1`); origin_inside
+        distinguishes empty from full.  A 2-vertex loop is malformed
+        input, not a sentinel — classifying it here would make the
+        "empty" loop contained by everything (ADVICE r4)."""
+        return len(self.vertices) == 1
 
     def is_full(self) -> bool:
         return self.is_empty_or_full() and bool(self.origin_inside)

@@ -91,12 +91,14 @@ def connected_components_star(pairs: DataFrame, a: str = "doc_a",
     edges directed larger -> smaller): every node u links its smaller
     neighbors and itself to m.  Both preserve connectivity; the
     fixpoint is a star per component centered on its minimum id."""
-    base = (pairs.where(F.col(a) != F.col(b))
-            .select(F.col(a).alias("u"), F.col(b).alias("v")))
-    edges = base.distinct().localCheckpoint()
-    all_nodes = (edges.select(F.col("u").alias("node"))
-                 .union(edges.select(F.col("v").alias("node")))
+    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # node universe from the UNFILTERED pairs so nodes appearing only in
+    # self-pairs still get a self-label (parity with connected_components)
+    all_nodes = (raw.select(F.col("u").alias("node"))
+                 .union(raw.select(F.col("v").alias("node")))
                  .distinct().localCheckpoint())
+    edges = (raw.where(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint())
     for _ in range(max_rounds):
         # large-star on full (undirected) neighborhoods
         sym = edges.union(edges.select(F.col("v").alias("u"),
@@ -120,12 +122,19 @@ def connected_components_star(pairs: DataFrame, a: str = "doc_a",
                                    F.col("m").alias("v"))))
         edges = (small.where(F.col("u") != F.col("v"))
                  .distinct().localCheckpoint())
-        # star fixpoint: no edge target is itself a source (an O(1)-row
-        # action over the checkpointed edge set)
+        # star fixpoint: no edge target is itself a source AND every
+        # source points at exactly one distinct target.  The first test
+        # alone accepts non-star states (a node holding edges to two
+        # different sink labels would exit early and split a component
+        # into two labels); both are O(1)-row actions over the
+        # checkpointed edge set
         e1, e2 = edges.alias("e1"), edges.alias("e2")
         non_star = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
                     .limit(1).count())
-        if non_star == 0:
+        multi_target = (edges.groupBy("u")
+                        .agg(F.countDistinct("v").alias("nt"))
+                        .where(F.col("nt") > 1).limit(1).count())
+        if non_star == 0 and multi_target == 0:
             break
     else:
         raise RuntimeError(

@@ -296,3 +296,38 @@ def test_simplify_edge_chains_avoids_nearby_site():
     after = clearance(big_s, small_s)
     # never reduced below the separation bound
     assert after >= min(before, sep_chord) * (1 - 1e-9), (before, after)
+
+
+def test_dominated_psi_wrap_branch():
+    """ADVICE r4: when the dominance phase psi lands outside the
+    principal branch's reach of [0, theta], the (psi-pi/2, psi+pi/2)
+    window must be compared modulo 2*pi.  Built so the ground truth
+    (winner strictly closer over every covered edge point) is verified
+    numerically in the test itself."""
+    import math
+
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.builder_snap import _dominated
+
+    theta = 3.0
+    x = np.array([1.0, 0.0, 0.0])
+    y = np.array([math.cos(theta), math.sin(theta), 0.0])
+    # choose d = winner - loser with phase psi = -3 (principal branch),
+    # whose +2*pi representative 3.28 has window (1.71, 4.85) ⊇ cov
+    psi = -3.0
+    d = np.array([math.cos(psi), math.sin(psi), 0.0])
+    loser = np.array([0.0, 0.0, 1.0])
+    winner = loser + d
+    cov = (2.0, 3.0)
+    # ground truth: d . gamma(t) > 0 on all of cov (winner dominates)
+    ts = np.linspace(cov[0], cov[1], 512)
+    gam = (np.sin(theta - ts)[:, None] * x +
+           np.sin(ts)[:, None] * y) / math.sin(theta)
+    assert (gam @ d > 0).all()
+    assert _dominated(cov, winner, loser, x, y, theta,
+                      math.sin(theta), math.cos(theta))
+    # and the complementary direction is NOT dominated anywhere in cov
+    assert (gam @ (-d) < 0).all()
+    assert not _dominated(cov, loser + (-d), loser, x, y, theta,
+                          math.sin(theta), math.cos(theta))

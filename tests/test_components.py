@@ -109,3 +109,32 @@ def test_star_handles_long_chain_beyond_propagation_budget(spark):
     got = {(r["node"], r["comp"])
            for r in connected_components_star(df, max_rounds=12).collect()}
     assert got == {(i, 0) for i in range(n)}
+
+def test_star_advice_r4_premature_fixpoint(spark):
+    """ADVICE r4 repro: pairs {(4,5),(4,9),(3,5),(2,9)} form ONE
+    component {2,3,4,5,9}; the old fixpoint test (only "no target is a
+    source") exited while node 4 still held edges to two sink labels,
+    emitting node 4 twice with comps 2 and 3."""
+    from s2_geometry_kotlin_spark.operators.components import (
+        connected_components, connected_components_star)
+    pairs = [(4, 5), (4, 9), (3, 5), (2, 9)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    star = sorted((r["node"], r["comp"])
+                  for r in connected_components_star(df).collect())
+    plain = sorted((r["node"], r["comp"])
+                   for r in connected_components(df).collect())
+    assert star == plain == [(2, 2), (3, 2), (4, 2), (5, 2), (9, 2)]
+    # exactly one row per node — no duplicate labels
+    assert len({n for n, _ in star}) == len(star)
+
+
+def test_star_keeps_self_pair_only_nodes(spark):
+    """A node appearing only in self-pairs must still get a self-label
+    (parity with connected_components)."""
+    from s2_geometry_kotlin_spark.operators.components import (
+        connected_components, connected_components_star)
+    pairs = [(1, 2), (7, 7)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    star = {(r["node"], r["comp"])
+            for r in connected_components_star(df).collect()}
+    assert star == {(1, 1), (2, 1), (7, 7)}

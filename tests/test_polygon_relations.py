@@ -117,3 +117,25 @@ def test_vertex_models():
     o = np.array([[x[0], y[0], z[0]]])
     for model in ("semi_open", "open", "closed"):
         assert not pip.polygon_contains_points(loops, o, model)[0]
+
+
+def test_sentinel_loops_are_one_vertex_only():
+    """ADVICE r4: only the canonical 1-vertex sentinels are empty/full
+    (S2Loop.isEmptyOrFull == `numVertices == 1`); a malformed 2-vertex
+    loop is rejected by contains_nested rather than classified as the
+    empty loop (which would make it contained by everything)."""
+    outer = ring(40.0, 10.0, 5.0)
+    empty = Loop(np.array([[0.0, 0.0, 1.0]]))   # z>0 -> origin outside
+    full = Loop(np.array([[0.0, 0.0, -1.0]]))   # z<0 -> origin inside
+    assert empty.is_empty() and not empty.is_full()
+    assert full.is_full() and not full.is_empty()
+    assert pr.contains_nested(outer, empty)
+    assert pr.contains_nested(full, outer)
+    assert not pr.contains_nested(empty, outer)
+    # 2-vertex loops: not sentinels, loudly rejected
+    two = Loop(outer.vertices[:2].copy())
+    assert not two.is_empty_or_full()
+    with pytest.raises(ValueError, match="1-vertex sentinels"):
+        pr.contains_nested(outer, two)
+    with pytest.raises(ValueError, match="1-vertex sentinels"):
+        pr.contains_nested(two, outer)
