@@ -70,3 +70,66 @@ def make_cell_union(text: str) -> list[int]:
     from .coverer import normalize
     return normalize([make_cellid(tok.strip())
                       for tok in text.split(",") if tok.strip()])
+
+
+def _points_of(text: str) -> np.ndarray:
+    lls = parse_latlngs(text)
+    lat = np.array([t[0] for t in lls])
+    lng = np.array([t[1] for t in lls])
+    x, y, z = ck.latlng_deg_to_xyz(lat, lng)
+    return np.stack([x, y, z], axis=1)
+
+
+def make_index(text: str):
+    """S2TextParser.makeIndex (S2TextParser.kt:170-204): the
+    'points # polylines # polygons' notation of the reference's
+    boolean-operation fixtures — shapes split on '|', lax-polygon loops
+    split on ';', 'full' = the full polygon.  Returns a
+    boolean_mixed.LaxGeometry."""
+    from .boolean_mixed import LaxGeometry
+    parts = text.split("#")
+    if len(parts) != 3:
+        raise ValueError(f"makeIndex needs 'p # l # poly': {text!r}")
+    geom = LaxGeometry()
+    for tok in parts[0].split("|"):
+        tok = tok.strip()
+        if tok:
+            geom.points.append(make_point(tok))
+    for tok in parts[1].split("|"):
+        tok = tok.strip()
+        if tok:
+            geom.lines.append(_points_of(tok))
+    for shape in parts[2].split("|"):
+        shape = shape.strip()
+        if not shape:
+            continue
+        if shape == "full":
+            geom.full = True
+            continue
+        for lptxt in shape.split(";"):
+            lptxt = lptxt.strip()
+            if lptxt:
+                geom.loops.append(_points_of(lptxt))
+    return geom
+
+
+def index_edge_multisets(text: str) -> dict:
+    """Expected-side of the parity harness: parse a makeIndex string
+    and return its per-dimension sorted directed-edge multiset, the
+    IndexMatchingLayer comparison form
+    (S2BooleanOperationUnitTest.kt:54-100)."""
+    from .boolean_mixed import MixedResult, _emit_geometry, _Operand, \
+        MixedOptions
+    geom = make_index(text)
+    res = MixedResult()
+
+    class _Raw:
+        pass
+
+    raw = _Raw()
+    raw.points = list(geom.points)
+    raw.lines = list(geom.lines)
+    raw.loops = list(geom.loops)
+    raw.full = geom.full
+    _emit_geometry(res, raw)
+    return {d: res.multiset(d) for d in (0, 1, 2)}

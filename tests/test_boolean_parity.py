@@ -1,0 +1,587 @@
+"""B3 reference-fixture parity: the named cases of
+src/test/kotlin/dilivia/s2/index/shape/S2BooleanOperationUnitTest.kt
+run against kernel/boolean_mixed.py, compared exactly the way the
+reference's IndexMatchingLayer compares them — per-dimension directed
+edge multisets with KEEP/KEEP/KEEP graph options (lines 46-100).
+
+Every expected string below is copied verbatim from the reference test
+(line numbers cited per case)."""
+
+from __future__ import annotations
+
+import pytest
+
+from s2_geometry_kotlin_spark.kernel.boolean_mixed import (
+    MixedOptions, boolean_op_mixed)
+from s2_geometry_kotlin_spark.kernel.textparser import (
+    index_edge_multisets, make_index)
+
+U, I, D, X = ("union", "intersection", "difference",
+              "symmetric_difference")
+
+KVTP = "0:0, 0:1, 0:2, 0:3, 0:4, 0:5, 5:5, 5:4, 5:3, 5:2, 5:1, 5:0"
+
+
+def check(options, a_str, b_str, op, expected_str):
+    a, b = make_index(a_str), make_index(b_str)
+    got = boolean_op_mixed(a, b, op, options)
+    want = index_edge_multisets(expected_str)
+    for d in (0, 1, 2):
+        assert got.multiset(d) == want[d], (
+            f"dim {d} mismatch for {op}:\n got: {got.multiset(d)}\n"
+            f"want: {want[d]}")
+    # the reference also checks the boolean (isEmpty) output path
+    want_empty = all(not want[d] for d in (0, 1, 2))
+    assert got.is_empty() == (want_empty and not got.full)
+
+
+def opts(polyline=None, polygon=None, loops_have_boundaries=True,
+         exp=None):
+    o = MixedOptions()
+    if polyline:
+        o.polyline_model = polyline
+    if polygon:
+        o.polygon_model = polygon
+    o.polyline_loops_have_boundaries = loops_have_boundaries
+    o.snap_exponent = exp
+    return o
+
+
+# --- S2BooleanOperationUnitTest.kt:221-232 ---------------------------------
+@pytest.mark.parametrize("model", ["OPEN", "SEMI_OPEN", "CLOSED"])
+def test_degenerate_polylines(model):
+    a, b = "# 0:0, 0:0 #", "# #"
+    check(opts(polyline=model), a, b, U, a)
+
+
+# --- :235-248 --------------------------------------------------------------
+@pytest.mark.parametrize("model", ["OPEN", "SEMI_OPEN", "CLOSED"])
+def test_degenerate_polygons(model):
+    a = "# # 0:0, 0:5, 5:5, 5:0; 1:1; 2:2, 3:3; 6:6; 7:7, 8:8"
+    b = "# #"
+    check(opts(polygon=model), a, b, U, a)
+
+
+# --- :250-260 --------------------------------------------------------------
+def test_point_point():
+    a, b = "0:0 | 1:0 # #", "0:0 | 2:0 # #"
+    o = opts()
+    check(o, a, b, U, "0:0 | 0:0 | 1:0 | 2:0 # #")
+    check(o, a, b, I, "0:0 | 0:0 # #")
+    check(o, a, b, D, "1:0 # #")
+    check(o, a, b, X, "1:0 | 2:0 # #")
+
+
+# --- :263-288 --------------------------------------------------------------
+def test_point_open_polyline():
+    o = opts(polyline="OPEN")
+    a = "0:0 | 1:0 | 2:0 | 3:0 | 4:0 | 5:0 # #"
+    b = "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #"
+    check(o, a, b, U,
+          "0:0 | 2:0 | 3:0 | 4:0 # 0:0, 1:0, 2:0 | 3:0, 3:0 "
+          "| 4:0, 5:0, 4:0 #")
+    check(o, a, b, I, "1:0 | 5:0 # #")
+    check(o, a, b, D, "0:0 | 2:0 | 3:0 | 4:0 # #")
+    check(o, a, b, X,
+          "0:0 | 2:0 | 3:0 | 4:0 # 0:0, 1:0, 2:0 | 3:0, 3:0 "
+          "| 4:0, 5:0, 4:0 #")
+
+
+# --- :290-308 --------------------------------------------------------------
+def test_point_open_polyline_loop_boundaries_false():
+    o = opts(polyline="OPEN", loops_have_boundaries=False)
+    a = "0:0 | 1:0 | 2:0 | 3:0 | 4:0 | 5:0 # #"
+    b = "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #"
+    check(o, a, b, U,
+          "0:0 | 2:0 | 3:0 # 0:0, 1:0, 2:0 | 3:0, 3:0 "
+          "| 4:0, 5:0, 4:0 #")
+    check(o, a, b, I, "1:0 | 4:0 | 5:0 # #")
+    check(o, a, b, D, "0:0 | 2:0 | 3:0 # #")
+    check(o, a, b, X,
+          "0:0 | 2:0 | 3:0 # 0:0, 1:0, 2:0 | 3:0, 3:0 "
+          "| 4:0, 5:0, 4:0 #")
+
+
+# --- :311-334 --------------------------------------------------------------
+@pytest.mark.parametrize("lhb", [False, True])
+def test_point_semi_open_polyline(lhb):
+    o = opts(polyline="SEMI_OPEN", loops_have_boundaries=lhb)
+    a = "0:0 | 1:0 | 2:0 | 3:0 | 4:0 | 5:0 # #"
+    b = "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #"
+    check(o, a, b, U,
+          "2:0 | 3:0 # 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #")
+    check(o, a, b, I, "0:0 | 1:0 | 4:0 | 5:0 # #")
+    check(o, a, b, D, "2:0 | 3:0 # #")
+    check(o, a, b, X,
+          "2:0 | 3:0 # 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #")
+
+
+# --- :337-356 --------------------------------------------------------------
+@pytest.mark.parametrize("lhb", [False, True])
+def test_point_closed_polyline(lhb):
+    o = opts(polyline="CLOSED", loops_have_boundaries=lhb)
+    a = "0:0 | 1:0 | 2:0 | 3:0 | 4:0 | 5:0 # #"
+    b = "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #"
+    check(o, a, b, U,
+          "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #")
+    check(o, a, b, I, "0:0 | 1:0 | 2:0 | 3:0 | 4:0 | 5:0 # #")
+    check(o, a, b, D, "# #")
+    check(o, a, b, X, "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #")
+
+
+# --- :359-368 --------------------------------------------------------------
+def test_point_polygon_interior():
+    o = opts()
+    a, b = "1:1 | 4:4 # #", "# # 0:0, 0:3, 3:0"
+    check(o, a, b, U, "4:4 # # 0:0, 0:3, 3:0")
+    check(o, a, b, I, "1:1 # #")
+    check(o, a, b, D, "4:4 # #")
+    check(o, a, b, X, "4:4 # # 0:0, 0:3, 3:0")
+
+
+# --- :371-412 --------------------------------------------------------------
+def test_point_open_polygon_vertex():
+    o = opts(polygon="OPEN")
+    a, b = "0:1 | 1:0 # #", "# # 0:0, 0:1, 1:0"
+    check(o, a, b, U, "0:1 | 1:0 # # 0:0, 0:1, 1:0")
+    check(o, a, b, I, "# #")
+    check(o, a, b, D, "0:1 | 1:0 # #")
+    check(o, a, b, X, "0:1 | 1:0 # # 0:0, 0:1, 1:0")
+
+
+def test_point_semi_open_polygon_vertex():
+    o = opts(polygon="SEMI_OPEN")
+    a, b = "0:1 | 1:0 # #", "# # 0:0, 0:1, 1:0"
+    check(o, a, b, U, "1:0 # # 0:0, 0:1, 1:0")
+    check(o, a, b, I, "0:1 # #")
+    check(o, a, b, D, "1:0 # #")
+    check(o, a, b, X, "1:0 # # 0:0, 0:1, 1:0")
+
+
+def test_point_closed_polygon_vertex():
+    o = opts(polygon="CLOSED")
+    a, b = "0:1 | 1:0 # #", "# # 0:0, 0:1, 1:0"
+    check(o, a, b, U, "# # 0:0, 0:1, 1:0")
+    check(o, a, b, I, "0:1 | 1:0 # #")
+    check(o, a, b, D, "# #")
+    check(o, a, b, X, "# # 0:0, 0:1, 1:0")
+
+
+# --- :415-444 --------------------------------------------------------------
+PLV_A = "# 0:0, 0:1, 0:2 | 0:3, 0:4, 0:3 #"
+PLV_B = ("# 0:0, 1:0 | -1:1, 0:1, 1:1 | -1:2, 0:2 | 1:3, 0:3, 1:3 "
+         "| 0:4, 1:4, 0:4 #")
+PLV_UNION = ("# 0:0, 0:1, 0:2 | 0:0, 1:0 | -1:1, 0:1, 1:1 | -1:2, 0:2 "
+             "| 0:3, 0:4, 0:3 | 1:3, 0:3, 1:3 | 0:4, 1:4, 0:4 #")
+
+
+def test_polyline_vertex_open_polyline_vertex():
+    o = opts(polyline="OPEN")
+    check(o, PLV_A, PLV_B, U, PLV_UNION)
+    check(o, PLV_A, PLV_B, I, "# 0:1, 0:1 | 0:1, 0:1 #")
+    check(o, PLV_A, PLV_B, D, "# 0:0, 0:1, 0:2 | 0:3, 0:4, 0:3 #")
+    check(o, PLV_A, PLV_B, X, PLV_UNION)
+
+
+# --- :447-476 --------------------------------------------------------------
+def test_polyline_vertex_open_polyline_vertex_loop_boundaries_false():
+    o = opts(polyline="OPEN", loops_have_boundaries=False)
+    check(o, PLV_A, PLV_B, U, PLV_UNION)
+    check(o, PLV_A, PLV_B, I,
+          "# 0:1, 0:1 | 0:1, 0:1 | 0:3, 0:3 | 0:3, 0:3 "
+          "| 0:4, 0:4 | 0:4, 0:4 #")
+    check(o, PLV_A, PLV_B, D, "# 0:0, 0:1, 0:2 | 0:3, 0:4, 0:3 #")
+    check(o, PLV_A, PLV_B, X, PLV_UNION)
+
+
+# --- :480-505 --------------------------------------------------------------
+@pytest.mark.parametrize("lhb", [False, True])
+def test_polyline_vertex_semi_open_polyline_vertex(lhb):
+    o = opts(polyline="SEMI_OPEN", loops_have_boundaries=lhb)
+    check(o, PLV_A, PLV_B, U, PLV_UNION)
+    check(o, PLV_A, PLV_B, I,
+          "# 0:0, 0:0 | 0:0, 0:0 | 0:1, 0:1 | 0:1, 0:1 "
+          "| 0:3, 0:3 | 0:3, 0:3 | 0:4, 0:4 | 0:4, 0:4 #")
+    check(o, PLV_A, PLV_B, D, "# 0:0, 0:1, 0:2 | 0:3, 0:4, 0:3 #")
+    check(o, PLV_A, PLV_B, X, PLV_UNION)
+
+
+# --- :509-537 --------------------------------------------------------------
+def test_polyline_vertex_closed_polyline_vertex():
+    o = opts(polyline="CLOSED")
+    check(o, PLV_A, PLV_B, U, PLV_UNION)
+    check(o, PLV_A, PLV_B, I,
+          "# 0:0, 0:0 | 0:0, 0:0 | 0:1, 0:1 | 0:1, 0:1 "
+          "| 0:2, 0:2 | 0:2, 0:2 "
+          "| 0:3, 0:3 | 0:3, 0:3 | 0:3, 0:3 "
+          "| 0:4, 0:4 | 0:4, 0:4 | 0:4, 0:4 #")
+    check(o, PLV_A, PLV_B, D, "# 0:0, 0:1, 0:2 | 0:3, 0:4, 0:3 #")
+    check(o, PLV_A, PLV_B, X, PLV_UNION)
+
+
+# --- :540-570 --------------------------------------------------------------
+def test_polyline_vertex_closed_polyline_vertex_loop_boundaries_false():
+    o = opts(polyline="CLOSED", loops_have_boundaries=False)
+    check(o, PLV_A, PLV_B, U, PLV_UNION)
+    check(o, PLV_A, PLV_B, I,
+          "# 0:0, 0:0 | 0:0, 0:0 | 0:1, 0:1 | 0:1, 0:1 "
+          "| 0:2, 0:2 | 0:2, 0:2 "
+          "| 0:3, 0:3 | 0:3, 0:3 | 0:4, 0:4 | 0:4, 0:4 #")
+    check(o, PLV_A, PLV_B, D, "# 0:0, 0:1, 0:2 | 0:3, 0:4, 0:3 #")
+    check(o, PLV_A, PLV_B, X, PLV_UNION)
+
+
+# --- :594-611 (PolylineVertexOpenPolygonVertex) ----------------------------
+PVPV_A = ("# 1:1, 0:1 | 0:2, 1:2 | -1:3, 0:3 | 0:4, -1:4 | 6:1, 5:1 "
+          "| 5:2, 6:2 | 4:3, 5:3 | 5:4, 4:4 #")
+
+
+def test_polyline_vertex_open_polygon_vertex():
+    o = opts(polygon="OPEN")
+    b = "# # " + KVTP
+    diff = ("# 0:1, 0:1 | 0:2, 0:2 | -1:3, 0:3 | 0:4, -1:4 | 6:1, 5:1 "
+            "| 5:2, 6:2 | 5:3, 5:3 | 5:4, 5:4 #")
+    check(o, PVPV_A, b, U, diff + KVTP)
+    check(o, PVPV_A, b, I, "# 1:1, 0:1 | 0:2, 1:2 | 4:3, 5:3 "
+          "| 5:4, 4:4 #")
+    check(o, PVPV_A, b, D, diff)
+    check(o, PVPV_A, b, X, diff + KVTP)
+
+
+# --- :617-643 (PolylineVertexOpenPolygonClosedPolylineVertex) --------------
+def test_polyline_vertex_open_polygon_closed_polyline_vertex():
+    suffix = ("-2:0, 0:1 | -2:1, 0:2 | -2:2, 0:3 | -2:3, 0:4 | 7:0, 5:1 "
+              "| 7:1, 5:2 | 7:2, 5:3 | 7:3, 5:4 # " + KVTP)
+    o = opts(polygon="OPEN")
+    b = "# " + suffix
+    prefix = "# -1:3, 0:3 | 0:4, -1:4 | 6:1, 5:1 | 5:2, 6:2"
+    check(o, PVPV_A, b, U,
+          prefix + " | 0:1, 0:1 | 0:2, 0:2 | 5:3, 5:3 | 5:4, 5:4 | "
+          + suffix)
+    check(o, PVPV_A, b, I,
+          "# 1:1, 0:1 | 0:2, 1:2 | 0:3, 0:3 | 0:4, 0:4"
+          "| 5:1, 5:1 | 5:2, 5:2 | 4:3, 5:3 | 5:4, 4:4"
+          "| 0:1, 0:1 | 0:2, 0:2 | 0:3, 0:3 | 0:4, 0:4"
+          "| 5:1, 5:1 | 5:2, 5:2 | 5:3, 5:3 | 5:4, 5:4 #")
+    check(o, PVPV_A, b, D, prefix + " #")
+    check(o, PVPV_A, b, X, prefix + " | " + suffix)
+
+
+# --- :646-673 (PolylineVertexSemiOpenPolygonVertex) ------------------------
+def test_polyline_vertex_semi_open_polygon_vertex():
+    o = opts(polygon="SEMI_OPEN")
+    b = "# # " + KVTP
+    diff = ("# -1:3, 0:3 | 0:4, -1:4 | 6:1, 5:1 | 5:2, 6:2 "
+            "| 5:3, 5:3 | 5:4, 5:4 #")
+    check(o, PVPV_A, b, U, diff + KVTP)
+    check(o, PVPV_A, b, I,
+          "# 1:1, 0:1 | 0:2, 1:2 | 0:3, 0:3 | 0:4, 0:4 | 4:3, 5:3 "
+          "| 5:4, 4:4 #")
+    check(o, PVPV_A, b, D, diff)
+    check(o, PVPV_A, b, X, diff + KVTP)
+
+
+# --- :676-700 (PolylineVertexClosedPolygonVertex) --------------------------
+def test_polyline_vertex_closed_polygon_vertex():
+    o = opts(polygon="CLOSED")
+    b = "# # " + KVTP
+    diff = "# -1:3, 0:3 | 0:4, -1:4 | 6:1, 5:1 | 5:2, 6:2 #"
+    check(o, PVPV_A, b, U, diff + KVTP)
+    check(o, PVPV_A, b, I,
+          "# 1:1, 0:1 | 0:2, 1:2 | 0:3, 0:3 | 0:4, 0:4 | 5:1, 5:1 "
+          "| 5:2, 5:2 | 4:3, 5:3 | 5:4, 4:4 #")
+    check(o, PVPV_A, b, D, diff)
+    check(o, PVPV_A, b, X, diff + KVTP)
+
+
+# --- :703-722 (PolylineEdgePolylineEdgeCrossing, roundToE(1)) --------------
+def test_polyline_edge_polyline_edge_crossing():
+    o = opts(exp=1)
+    a, b = "# 0:0, 2:2 #", "# 2:0, 0:2 #"
+    check(o, a, b, U, "# 0:0, 1:1, 2:2 | 2:0, 1:1, 0:2 #")
+    check(o, a, b, I, "# 1:1, 1:1 | 1:1, 1:1 #")
+    check(o, a, b, D, "# 0:0, 2:2 #")
+    check(o, a, b, X, "# 0:0, 1:1, 2:2 | 2:0, 1:1, 0:2 #")
+
+
+# --- :725-753 (PolylineEdgePolylineEdgeOverlap) ----------------------------
+def test_polyline_edge_polyline_edge_overlap():
+    o = opts(polygon="OPEN")
+    a = "# 0:0, 1:0, 2:0, 2:5 | 3:0, 3:0 | 6:0, 5:0, 4:0 #"
+    b = "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0 #"
+    check(o, a, b, U,
+          "# 0:0, 1:0, 2:0, 2:5 | 0:0, 1:0, 2:0 | 3:0, 3:0 | 3:0, 3:0 "
+          "| 6:0, 5:0, 4:0 | 4:0, 5:0 #")
+    check(o, a, b, I,
+          "# 0:0, 1:0, 2:0 | 0:0, 1:0, 2:0 | 3:0, 3:0 | 3:0, 3:0 "
+          "| 5:0, 4:0 | 4:0, 5:0 #")
+    check(o, a, b, D, "# 2:0, 2:5 | 6:0, 5:0 #")
+    check(o, a, b, X, "# 2:0, 2:5 | 6:0, 5:0 #")
+
+
+# --- :756-781 (PolylineEdgeOpenPolygonEdgeOverlap) -------------------------
+def test_polyline_edge_open_polygon_edge_overlap():
+    o = opts(polygon="OPEN")
+    a = "# 1:1, 1:3, 3:3 | 3:3, 1:3 # "
+    b = "# # 1:1, 1:3, 3:3, 3:1"
+    check(o, a, b, U, "# 1:1, 1:3, 3:3 | 3:3, 1:3 # 1:1, 1:3, 3:3, 3:1")
+    check(o, a, b, I, "# #")
+    check(o, a, b, D, "# 1:1, 1:3, 3:3 | 3:3, 1:3 #")
+    check(o, a, b, X, "# 1:1, 1:3, 3:3 | 3:3, 1:3 # 1:1, 1:3, 3:3, 3:1")
+
+
+# --- :783-811 (PolylineEdgeSemiOpenPolygonEdgeOverlap) ---------------------
+def test_polyline_edge_semi_open_polygon_edge_overlap():
+    o = opts(polygon="SEMI_OPEN")
+    a = "# 1:1, 1:3, 3:3 | 3:3, 1:3 # "
+    b = "# # 1:1, 1:3, 3:3, 3:1"
+    check(o, a, b, U,
+          "# 1:1, 1:1 | 3:3, 3:3 | 3:3, 1:3 # 1:1, 1:3, 3:3, 3:1")
+    check(o, a, b, I, "# 1:3, 1:3 | 1:1, 1:3, 3:3 #")
+    check(o, a, b, D, "# 1:1, 1:1 | 3:3, 3:3 | 3:3, 1:3 #")
+    check(o, a, b, X,
+          "# 1:1, 1:1 | 3:3, 3:3 | 3:3, 1:3 # 1:1, 1:3, 3:3, 3:1")
+
+
+# --- :813-834 (PolylineEdgeClosedPolygonEdgeOverlap) -----------------------
+def test_polyline_edge_closed_polygon_edge_overlap():
+    o = opts(polygon="CLOSED")
+    a = "# 1:1, 1:3, 3:3 | 3:3, 1:3 # "
+    b = "# # 1:1, 1:3, 3:3, 3:1"
+    check(o, a, b, U, "# # 1:1, 1:3, 3:3, 3:1")
+    check(o, a, b, I, "# 1:1, 1:3, 3:3 | 3:3, 1:3 #")
+    check(o, a, b, D, "# #")
+    check(o, a, b, X, "# # 1:1, 1:3, 3:3, 3:1")
+
+
+# --- :837-849 (PolygonVertexMatching) --------------------------------------
+def test_polygon_vertex_matching():
+    o = opts(polyline="CLOSED", polygon="CLOSED")
+    a, b = "# 0:0, 1:1 # ", "# # 0:0, 1:1"
+    check(o, a, b, U, "# # 0:0, 1:1")
+
+
+# --- :852-875 (PolylineEdgePolygonInterior) --------------------------------
+def test_polyline_edge_polygon_interior():
+    o = opts()
+    a = "# 1:1, 2:2 | 3:3, 3:3 | 6:6, 7:7 | 8:8, 8:8 # "
+    b = "# # 0:0, 0:5, 5:5, 5:0"
+    check(o, a, b, U, "# 6:6, 7:7 | 8:8, 8:8 # 0:0, 0:5, 5:5, 5:0")
+    check(o, a, b, I, "# 1:1, 2:2 | 3:3, 3:3 #")
+    check(o, a, b, D, "# 6:6, 7:7 | 8:8, 8:8 #")
+    check(o, a, b, X, "# 6:6, 7:7 | 8:8, 8:8 # 0:0, 0:5, 5:5, 5:0")
+
+
+# --- :878-953 (PolygonVertex{Open,SemiOpen,Closed}PolygonVertex) -----------
+PV_A = "# # 0:0, 0:5, 1:5, 0:0, 2:5, 3:5"
+PV_B = "# # 0:0, 5:3, 5:2"
+PV_UNION = "# # 0:0, 0:5, 1:5, 0:0, 2:5, 3:5, 0:0, 5:3, 5:2"
+
+
+def test_polygon_vertex_open_polygon_vertex():
+    o = opts(polygon="OPEN")
+    check(o, PV_A, PV_B, U, PV_UNION)
+    check(o, PV_A, PV_B, I, "# #")
+    check(o, PV_A, PV_B, D, PV_A)
+    check(o, PV_A, PV_B, X, PV_UNION)
+
+
+def test_polygon_vertex_semi_open_polygon_vertex():
+    o = opts(polygon="SEMI_OPEN")
+    check(o, PV_A, PV_B, U, PV_UNION)
+    check(o, PV_A, PV_B, I, "# #")
+    check(o, PV_A, PV_B, D, PV_A)
+    check(o, PV_A, PV_B, X, PV_UNION)
+
+
+def test_polygon_vertex_closed_polygon_vertex():
+    o = opts(polygon="CLOSED")
+    check(o, PV_A, PV_B, U, PV_UNION)
+    check(o, PV_A, PV_B, I, "# # 0:0")
+    check(o, PV_A, PV_B, D, PV_A)
+    check(o, PV_B, PV_A, D, PV_B)
+    check(o, PV_A, PV_B, X, PV_UNION)
+
+
+# --- :957-979 (PolygonEdgePolygonEdgeCrossing, roundToE(2)) ----------------
+def test_polygon_edge_polygon_edge_crossing():
+    o = opts(exp=2)
+    a = "# # 0:0, 0:2, 2:2, 2:0"
+    b = "# # 1:1, 1:3, 3:3, 3:1"
+    check(o, a, b, U, "# # 0:0, 0:2, 1:2, 1:3, 3:3, 3:1, 2:1, 2:0")
+    check(o, a, b, I, "# # 1:1, 1:2, 2:2, 2:1")
+    check(o, a, b, D, "# # 0:0, 0:2, 1:2, 1:1, 2:1, 2:0")
+    check(o, a, b, X,
+          "# # 0:0, 0:2, 1:2, 1:1, 2:1, 2:0; 1:2, 1:3, 3:3, 3:1, 2:1, "
+          "2:2")
+
+
+# --- :982-1063 (PolygonEdge*PolygonEdgeOverlap) ----------------------------
+PE_A = "# # 0:0, 0:4, 2:4, 2:0"
+PE_B = "# # 0:0, 1:1, 2:0; 0:4, 1:5, 2:4"
+
+
+def test_polygon_edge_open_polygon_edge_overlap():
+    o = opts(polygon="OPEN")
+    check(o, PE_A, PE_B, U, "# # 0:0, 0:4, 2:4, 2:0; 0:4, 1:5, 2:4")
+    check(o, PE_A, PE_B, I, "# # 0:0, 1:1, 2:0")
+    check(o, PE_A, PE_B, D, "# # 0:0, 0:4, 2:4, 2:0, 1:1")
+    check(o, PE_A, PE_B, X,
+          "# # 0:0, 0:4, 2:4, 2:0, 1:1; 0:4, 1:5, 2:4")
+
+
+def test_polygon_edge_semi_open_polygon_edge_overlap():
+    o = opts(polygon="SEMI_OPEN")
+    check(o, PE_A, PE_B, U, "# # 0:0, 0:4, 1:5, 2:4, 2:0")
+    check(o, PE_A, PE_B, I, "# # 0:0, 1:1, 2:0")
+    check(o, PE_A, PE_B, D, "# # 0:0, 0:4, 2:4, 2:0, 1:1")
+    check(o, PE_A, PE_B, X,
+          "# # 0:0, 0:4, 2:4, 2:0, 1:1; 0:4, 1:5, 2:4")
+
+
+def test_polygon_edge_closed_polygon_edge_overlap():
+    o = opts(polygon="CLOSED")
+    check(o, PE_A, PE_B, U, "# # 0:0, 0:4, 1:5, 2:4, 2:0")
+    check(o, PE_A, PE_B, I, "# # 0:0, 1:1, 2:0; 0:4, 2:4")
+    check(o, PE_A, PE_B, D, "# # 0:0, 0:4, 2:4, 2:0, 1:1")
+    check(o, PE_A, PE_B, X,
+          "# # 0:0, 0:4, 2:4, 2:0, 1:1; 0:4, 1:5, 2:4")
+
+
+# --- :1066-1088 (PolygonPolygonInterior) -----------------------------------
+def test_polygon_polygon_interior():
+    o = opts()
+    a = "# # 0:0, 0:4, 4:4, 4:0"
+    b = "# # 1:1, 1:2, 2:2, 2:1; 5:5, 5:6, 6:6, 6:5"
+    check(o, a, b, U, "# # 0:0, 0:4, 4:4, 4:0; 5:5, 5:6, 6:6, 6:5")
+    check(o, a, b, I, "# # 1:1, 1:2, 2:2, 2:1")
+    check(o, a, b, D, "# # 0:0, 0:4, 4:4, 4:0; 2:1, 2:2, 1:2, 1:1")
+    check(o, a, b, X,
+          "# # 0:0, 0:4, 4:4, 4:0; 2:1, 2:2, 1:2, 1:1; "
+          "5:5, 5:6, 6:6, 6:5")
+
+
+# --- :1122-1148 (ThreeOverlappingBars, roundToE(2)) ------------------------
+def test_three_overlapping_bars():
+    o = opts(exp=2)
+    a = "# # 0:0, 0:2, 3:2, 3:0; 0:3, 0:5, 3:5, 3:3"
+    b = "# # 1:1, 1:4, 2:4, 2:1"
+    check(o, a, b, U,
+          "# # 0:0, 0:2, 1:2, 1:3, 0:3, 0:5, 3:5, 3:3, 2:3, 2:2, 3:2, "
+          "3:0")
+    check(o, a, b, I,
+          "# # 1:1, 1:2, 2:2, 2:1; 1:3, 1:4, 2:4, 2:3")
+    check(o, a, b, D,
+          "# # 0:0, 0:2, 1:2, 1:1, 2:1, 2:2, 3:2, 3:0; "
+          "0:3, 0:5, 3:5, 3:3, 2:3, 2:4, 1:4, 1:3")
+    check(o, a, b, X,
+          "# # 0:0, 0:2, 1:2, 1:1, 2:1, 2:2, 3:2, 3:0; "
+          "0:3, 0:5, 3:5, 3:3, 2:3, 2:4, 1:4, 1:3; "
+          "1:2, 1:3, 2:3, 2:2")
+
+
+# --- :1151-1187 (FourOverlappingBars, roundToE(2)) -------------------------
+def test_four_overlapping_bars():
+    o = opts(exp=2)
+    a = "# # 1:88, 1:93, 2:93, 2:88; -1:88, -1:93, 0:93, 0:88"
+    b = "# # -2:89, -2:90, 3:90, 3:89; -2:91, -2:92, 3:92, 3:91"
+    check(o, a, b, U,
+          "# # -1:88, -1:89, -2:89, -2:90, -1:90, -1:91, -2:91, -2:92, "
+          "-1:92, -1:93, 0:93, 0:92, 1:92, 1:93, 2:93, 2:92, 3:92, "
+          "3:91, 2:91, 2:90, 3:90, 3:89, 2:89, 2:88, 1:88, 1:89, 0:89, "
+          "0:88; 0:90, 1:90, 1:91, 0:91")
+    check(o, a, b, I,
+          "# # 1:89, 1:90, 2:90, 2:89; 1:91, 1:92, 2:92, 2:91; "
+          "-1:89, -1:90, 0:90, 0:89; -1:91, -1:92, 0:92, 0:91")
+    check(o, a, b, D,
+          "# # 1:88, 1:89, 2:89, 2:88; 1:90, 1:91, 2:91, 2:90; "
+          "1:92, 1:93, 2:93, 2:92; -1:88, -1:89, 0:89, 0:88; "
+          "-1:90, -1:91, 0:91, 0:90; -1:92, -1:93, 0:93, 0:92")
+    check(o, a, b, X,
+          "# # 1:88, 1:89, 2:89, 2:88; -1:88, -1:89, 0:89, 0:88; "
+          "1:90, 1:91, 2:91, 2:90; -1:90, -1:91, 0:91, 0:90; "
+          "1:92, 1:93, 2:93, 2:92; -1:92, -1:93, 0:93, 0:92; "
+          "-2:89, -2:90, -1:90, -1:89; -2:91, -2:92, -1:92, -1:91; "
+          "0:89, 0:90, 1:90, 1:89; 0:91, 0:92, 1:92, 1:91; "
+          "2:89, 2:90, 3:90, 3:89; 2:91, 2:92, 3:92, 3:91")
+
+
+# --- :1190-1227 (OverlappingDoughnuts, roundToE(1)) ------------------------
+def test_overlapping_doughnuts():
+    o = opts(exp=1)
+    a = ("# # -1:-93, -1:-89, 3:-89, 3:-93; "
+         "0:-92, 2:-92, 2:-90, 0:-90")
+    b = ("# # -3:-91, -3:-87, 1:-87, 1:-91; "
+         "-2:-90, 0:-90, 0:-88, -2:-88")
+    check(o, a, b, U,
+          "# # -1:-93, -1:-91, -3:-91, -3:-87, 1:-87, 1:-89, 3:-89, "
+          "3:-93; 0:-92, 2:-92, 2:-90, 1:-90, 1:-91, 0:-91; "
+          "-2:-90, -1:-90, -1:-89, 0:-89, 0:-88, -2:-88")
+    check(o, a, b, I,
+          "# # -1:-91, -1:-90, 0:-90, 0:-91; 0:-90, 0:-89, 1:-89, "
+          "1:-90")
+    check(o, a, b, D,
+          "# # -1:-93, -1:-91, 0:-91, 0:-92, 2:-92, 2:-90, 1:-90, "
+          "1:-89, 3:-89, 3:-93; -1:-90, -1:-89, 0:-89, 0:-90")
+    check(o, a, b, X,
+          "# # -1:-93, -1:-91, 0:-91, 0:-92, 2:-92, 2:-90, 1:-90, "
+          "1:-89, 3:-89, 3:-93; "
+          "-3:-91, -3:-87, 1:-87, 1:-89, 0:-89, 0:-88,-2:-88,-2:-90,"
+          "-1:-90,-1:-91; -1:-90, -1:-89, 0:-89, 0:-90; "
+          "1:-91, 0:-91, 0:-90, 1:-90")
+
+
+# --- :1230-1252 (PolylineEnteringRectangle, roundToE(1)) -------------------
+def test_polyline_entering_rectangle():
+    o = opts(exp=1)
+    a = "# 0:0, 2:2 #"
+    b = "# # 1:1, 1:3, 3:3, 3:1"
+    check(o, a, b, U, "# 0:0, 1:1 # 1:1, 1:3, 3:3, 3:1")
+    check(o, a, b, I, "# 1:1, 2:2 #")
+    check(o, a, b, D, "# 0:0, 1:1 #")
+    check(o, a, b, X, "# 0:0, 1:1 # 1:1, 1:3, 3:3, 3:1")
+
+
+# --- :1255-1283 (PolylineCrossingRectangleTwice, roundToE(1)) --------------
+def test_polyline_crossing_rectangle_twice():
+    o = opts(exp=1)
+    a = "# 0:-5, 0:5, 5:0, -5:0 #"
+    b = "# # 1:1, 1:-1, -1:-1, -1:1"
+    check(o, a, b, U,
+          "# 0:-5, 0:-1 | 0:1, 0:5, 5:0, 1:0 | -1:0, -5:0 "
+          "# 1:1, 1:0, 1:-1, 0:-1, -1:-1, -1:0, -1:1, 0:1")
+    check(o, a, b, I, "# 0:-1, 0:0, 0:1 | 1:0, 0:0, -1:0 #")
+    check(o, a, b, D,
+          "# 0:-5, 0:-1 | 0:1, 0:5, 5:0, 1:0 | -1:0, -5:0 #")
+    check(o, a, b, X,
+          "# 0:-5, 0:-1 | 0:1, 0:5, 5:0, 1:0 | -1:0, -5:0 "
+          "# 1:1, 1:0, 1:-1, 0:-1, -1:-1, -1:0, -1:1, 0:1")
+
+
+# --- :1612-1646 (Equals / ContainsEmptyAndFull / IntersectsEmptyAndFull) ---
+def test_equals_contains_intersects_empty_full():
+    from s2_geometry_kotlin_spark.kernel.boolean_mixed import (
+        geometry_contains, geometry_equals, geometry_intersects)
+
+    def eq(x, y):
+        return geometry_equals(make_index(x), make_index(y))
+
+    assert eq("# #", "# #")
+    assert eq("# # full", "# # full")
+    assert not eq("# #", "# # full")
+    assert not eq("0:0 # #", "# #")
+    assert not eq("0:0 # #", "# # full")
+    assert not eq("# 0:0, 1:1 #", "# #")
+    assert not eq("# 0:0, 1:1 #", "# # full")
+    assert not eq("# # 0:0, 0:1, 1:0 ", "# #")
+    assert not eq("# # 0:0, 0:1, 1:0 ", "# # full")
+
+    empty, full = make_index("# #"), make_index("# # full")
+    assert geometry_contains(empty, empty)
+    assert not geometry_contains(empty, full)
+    assert geometry_contains(full, empty)
+    assert geometry_contains(full, full)
+    assert not geometry_intersects(empty, empty)
+    assert not geometry_intersects(empty, full)
+    assert not geometry_intersects(full, empty)
+    assert geometry_intersects(full, full)

@@ -171,15 +171,26 @@ def test_contains_nested_sentinel_loops_follow_reference():
     (S2Loop.kt:771-772) instead of running the degenerate wedge test."""
     from s2_geometry_kotlin_spark.kernel.polygon_relations import \
         contains_nested
+    import pytest
+
     a = Loop(regular_loop_vertices(*PARIS, 2.0, 12))
+    # canonical sentinels are ONE vertex (S2Loop.isEmptyOrFull is
+    # numVertices == 1); a 2-vertex loop is malformed input and is
+    # rejected loudly (ADVICE r4)
     empty = Loop.__new__(Loop)
-    empty.vertices = regular_loop_vertices(*PARIS, 0.5, 12)[:2]
+    empty.vertices = regular_loop_vertices(*PARIS, 0.5, 12)[:1]
     empty.origin_inside = False
     empty._bound = None
     full = Loop.__new__(Loop)
     full.vertices = empty.vertices[:1]
     full.origin_inside = True
     full._bound = None
+    two = Loop.__new__(Loop)
+    two.vertices = regular_loop_vertices(*PARIS, 0.5, 12)[:2]
+    two.origin_inside = False
+    two._bound = None
+    with pytest.raises(ValueError, match="1-vertex sentinels"):
+        contains_nested(a, two)
     # every loop contains the empty loop
     assert contains_nested(a, empty) is True
     # a finite loop does not contain the full loop
