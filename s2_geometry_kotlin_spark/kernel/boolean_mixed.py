@@ -144,8 +144,11 @@ def _on_segment_interior(p: np.ndarray, u: np.ndarray,
         return False
     if abs(float(p @ n)) / nn > 1e-12:
         return False
-    # between the endpoints along the great circle (chordal test)
-    return float((p - u) @ (v - u)) > 0 and float((p - v) @ (u - v)) > 0
+    # between the endpoints along the great circle (chordal test, with
+    # a positive margin: points antipodal-adjacent to an endpoint can
+    # tip an exactly-zero dot product either way in float arithmetic)
+    return float((p - u) @ (v - u)) > 1e-9 and \
+        float((p - v) @ (u - v)) > 1e-9
 
 
 def split_edges(edges: list, all_vertices: list,
@@ -199,6 +202,8 @@ def _loop_is_zero_area_chain(lo: np.ndarray) -> bool:
     edges: dict = {}
     for a in range(n):
         u, v = _key(lo[a]), _key(lo[(a + 1) % n])
+        if u == v:
+            continue   # a degenerate edge is its own sibling
         if edges.get((v, u), 0) > 0:
             edges[(v, u)] -= 1
             if edges[(v, u)] == 0:
@@ -234,10 +239,9 @@ class _Operand:
         """Solid boundary edges oriented interior-on-left (holes
         reversed), for the SEMI_OPEN direction rule."""
         if getattr(self, "_oriented_edges", None) is None:
-            from .booleanop import oriented_boundary_loops
             out = []
             if self.solid is not None:
-                for lo in oriented_boundary_loops(self.solid):
+                for lo in _oriented_loops_any(self.solid):
                     for a in range(len(lo)):
                         out.append((lo[a], lo[(a + 1) % len(lo)]))
             self._oriented_edges = out
@@ -333,12 +337,12 @@ def _point_in_solid(op: _Operand, p: np.ndarray, model: str) -> bool:
             if _key(p) in (_key(u), _key(v)) or \
                     (_key(u) != _key(v) and _on_segment_interior(p, u, v)):
                 return True
-    if not op.solid_loops:
+    if op.solid is None:
         return False
-    got = pip.polygon_contains_points(
-        [np.asarray(lo) for lo in op.solid_loops], p[None, :],
-        "semi_open" if on_boundary else "semi_open")
-    return bool(got[0])
+    # the normalized Polygon handles hole orientation and the
+    # more-than-half-sphere inverted representation; its parity ladder
+    # is deterministic on boundary points (SoS)
+    return bool(op.solid.contains_point(p))
 
 
 def _point_in_polylines(op: _Operand, p: np.ndarray) -> bool:
@@ -408,9 +412,7 @@ def _subedge_in_solid(op: _Operand, u: np.ndarray, v: np.ndarray,
             # (S2BooleanOperation.kt:116-118 and the
             # PolylineEdgeSemiOpenPolygonEdgeOverlap fixture)
             return float(np.cross(c, d) @ np.cross(u, v)) > 0
-    return bool(pip.polygon_contains_points(
-        [np.asarray(lo) for lo in op.solid_loops],
-        m[None, :], "semi_open")[0])
+    return bool(op.solid.contains_point(m))
 
 
 def _seg_overlaps(u, v, c, d) -> bool:
@@ -617,8 +619,8 @@ def _split_emitted_at(edges: list, pts: list) -> list:
             return False
         if abs(float(p @ n)) / nn > 2e-4:
             return False
-        return float((p - u) @ (v - u)) > 0 and \
-            float((p - v) @ (u - v)) > 0
+        return float((p - u) @ (v - u)) > 1e-9 and \
+            float((p - v) @ (u - v)) > 1e-9
 
     out = []
     for (u, v) in edges:
@@ -655,6 +657,17 @@ def _merge_chain(kept: list, xgen: set, v_keys: set) -> list:
     return out
 
 
+def _oriented_loops_any(poly) -> list:
+    """oriented_boundary_loops that also accepts the inverted
+    (more-than-half-sphere) representation: the boundary is the same,
+    interior-on-left is the reverse of the complement's."""
+    from .booleanop import oriented_boundary_loops
+    if getattr(poly, "inverted", False):
+        return [lo[::-1].copy()
+                for lo in oriented_boundary_loops(poly.complement())]
+    return oriented_boundary_loops(poly)
+
+
 def _solid_result_edges(A: "_Operand", B: "_Operand", op: str) -> list:
     """Directed boundary edges of the solid part.  SYMMETRIC_DIFFERENCE
     composes (A-B) + (B-A) WITHOUT sibling-pair normalization — the
@@ -662,11 +675,11 @@ def _solid_result_edges(A: "_Operand", B: "_Operand", op: str) -> list:
     guarantee that results are normalized, i.e. the output could
     contain sibling pairs' (S2BooleanOperationUnitTest.kt:1026-1028) and
     the IndexMatchingLayer keeps them."""
-    from .booleanop import oriented_boundary_loops, polygon_boolean
+    from .booleanop import polygon_boolean
 
     def edges_of(poly) -> list:
         out = []
-        for lo in oriented_boundary_loops(poly):
+        for lo in _oriented_loops_any(poly):
             for a in range(len(lo)):
                 out.append((lo[a], lo[(a + 1) % len(lo)]))
         return out
@@ -691,7 +704,7 @@ def _solid_result_edges(A: "_Operand", B: "_Operand", op: str) -> list:
 
 
 def _dim2(res, A: "_Operand", B: "_Operand", op: str,
-          opts: MixedOptions):
+          opts: MixedOptions, slit_pts: list):
     pm = opts.polygon_model
     res.edges[2].extend(_solid_result_edges(A, B, op))
     # model degeneracies along shared borders / at shared vertices
@@ -738,6 +751,7 @@ def _dim2(res, A: "_Operand", B: "_Operand", op: str,
                     u, v = chain[t], chain[t + 1]
                     if _chain_sub_in_solid_interior(A, u, v):
                         res.edges[2].append((u, v))
+                        slit_pts.extend((u, v))
             continue
         for chain in X._chain_chains:
             for t in range(len(chain) - 1):
@@ -750,6 +764,20 @@ def _dim2(res, A: "_Operand", B: "_Operand", op: str,
                     keep = False
                 if keep:
                     res.edges[2].append((u, v))
+                    slit_pts.extend((u, v))
+            if op != "union" and pm != "OPEN":
+                # degenerate chains meeting at a point: the crossing is
+                # emitted as one degenerate edge per traversal — the
+                # 0-dimensional intersection for INTERSECTION, the
+                # puncture marker for DIFFERENCE/SYMMETRIC_DIFFERENCE
+                # (PolygonEdgesDegenerateAfterSnapping expects 4x, 2x
+                # and 4x "0:0" respectively); under OPEN the result
+                # stays empty — "they could have been disjoint before
+                # snapping" (S2BooleanOperation.kt:334-336)
+                for t in range(1, len(chain) - 1):
+                    w = chain[t]
+                    if _point_on_chains(Y, w):
+                        res.edges[2].append((w, w))
 
 
 def _chain_sub_in_solid_interior(Y: "_Operand", u, v) -> bool:
@@ -757,7 +785,7 @@ def _chain_sub_in_solid_interior(Y: "_Operand", u, v) -> bool:
     overlap does not count)."""
     if Y.full:
         return True
-    if not Y.solid_loops:
+    if Y.solid is None:
         return False
     m = u + v
     nm = float(np.linalg.norm(m))
@@ -767,9 +795,21 @@ def _chain_sub_in_solid_interior(Y: "_Operand", u, v) -> bool:
     for (c, d) in Y.solid_edges():
         if _key(m) in (_key(c), _key(d)) or _on_segment_interior(m, c, d):
             return False
-    return bool(pip.polygon_contains_points(
-        [np.asarray(lo) for lo in Y.solid_loops], m[None, :],
-        "semi_open")[0])
+    return bool(Y.solid.contains_point(m))
+
+
+def _point_on_chains(Y: "_Operand", p) -> bool:
+    """p lies on one of Y's degenerate chain features."""
+    k = _key(p)
+    for chain in Y._chain_chains:
+        for q in chain:
+            if _key(q) == k:
+                return True
+        for t in range(len(chain) - 1):
+            u, v = chain[t], chain[t + 1]
+            if _key(u) != _key(v) and _on_segment_interior(p, u, v):
+                return True
+    return False
 
 
 def _chain_sub_in_region(Y: "_Operand", u, v, pm: str) -> bool:
@@ -865,12 +905,16 @@ def boolean_op_mixed(a_geom: LaxGeometry, b_geom: LaxGeometry, op: str,
     if op != "difference":
         for li in range(len(B.lines)):
             line_parts.append(_emit_polyline(res, B, A, li, op, opts))
-    _dim2(res, A, B, op, opts)
+    slit_pts: list = []
+    _dim2(res, A, B, op, opts, slit_pts)
 
     # polygon output edges gain vertices where RETAINED lower-dimension
     # output crosses them (PolylineCrossingRectangleTwice: the
-    # rectangle is emitted with the four polyline crossing vertices)
+    # rectangle is emitted with the four polyline crossing vertices) or
+    # where an emitted slit/chain ends on them (meridian splitting)
     retained_pts = {}
+    for u in slit_pts:
+        retained_pts.setdefault(_key(u), u)
     for (u, v) in res.edges[0]:
         retained_pts.setdefault(_key(u), u)
     for (kept, rem, _) in line_parts:
@@ -934,3 +978,91 @@ def geometry_contains(a_geom, b_geom, opts=None) -> bool:
 
 def geometry_intersects(a_geom, b_geom, opts=None) -> bool:
     return not boolean_is_empty(a_geom, b_geom, "intersection", opts)
+
+
+# ---------------------------------------------------------------------------
+# expectPolygon harness (FullAndEmptyResults): empty / full / other
+# ---------------------------------------------------------------------------
+
+def _solid_result_loops(A: "_Operand", B: "_Operand", op: str) -> list:
+    from .booleanop import polygon_boolean
+
+    def loops_of(poly):
+        return [] if poly is None else _oriented_loops_any(poly)
+
+    def solid_op(x, y, o):
+        if x is None and y is None:
+            return []
+        if x is None:
+            return loops_of(y) if o == "union" else []
+        if y is None:
+            return [] if o == "intersection" else loops_of(x)
+        return loops_of(polygon_boolean(x, y, o))
+
+    if op == "symmetric_difference":
+        return (solid_op(A.solid, B.solid, "difference")
+                + solid_op(B.solid, A.solid, "difference"))
+    return solid_op(A.solid, B.solid, op)
+
+
+def boolean_polygon_emptiness(a_geom: LaxGeometry, b_geom: LaxGeometry,
+                              op: str,
+                              snap_radius_deg: float | None = None
+                              ) -> str:
+    """'empty' | 'full' | 'other': the S2BooleanOperationUnitTest
+    FullAndEmptyResults harness (expectPolygon with an
+    IdentitySnapFunction snap radius and DegenerateBoundaries.DISCARD).
+
+    Exact rows fall out of the solid op; "empty/full due to snapping"
+    rows snap-round the exact result boundary with the B1 pipeline
+    (IdentitySnap(radius): unmoved vertices, merged sites, edge-site
+    coverage chains) and cancel sibling pairs / degenerate edges with
+    the B5 polygon graph policy — if nothing survives, a probe point
+    evaluated against the EXACT operands decides empty vs full (the
+    isFullPolygonResult role; the probe is far from every input edge,
+    where exact and snapped containment agree)."""
+    opts = MixedOptions()
+    A = _Operand(a_geom, opts, b_geom)
+    B = _Operand(b_geom, opts, a_geom)
+
+    def probe_side() -> str:
+        p = _probe_point(A, B)
+        ia = A.full or _point_in_solid(A, p, "SEMI_OPEN")
+        ib = B.full or _point_in_solid(B, p, "SEMI_OPEN")
+        return "full" if _op_truth(op, ia, ib) else "empty"
+
+    if A.full or B.full:
+        res = boolean_op_mixed(a_geom, b_geom, op, opts)
+        if res.is_empty():
+            return "empty"
+        if res.full and not res.edges[2]:
+            return "full"
+        return "other"
+    loops = _solid_result_loops(A, B, op)
+    if not loops:
+        return probe_side()
+    if snap_radius_deg is None:
+        return "other"
+    from .builder_graph import POLYGON_LAYER_OPTIONS, GraphOptions, \
+        process_edges
+    from .builder_snap import IdentitySnap, snap_loops
+    snapped = snap_loops([np.asarray(lo) for lo in loops],
+                         IdentitySnap(math.radians(snap_radius_deg)))
+    vid: dict = {}
+    edges = []
+    for lo in snapped:
+        n = len(lo)
+        for a in range(n):
+            ku, kv = _key(lo[a]), _key(lo[(a + 1) % n])
+            for k in (ku, kv):
+                if k not in vid:
+                    vid[k] = len(vid)
+            edges.append((vid[ku], vid[kv]))
+    go = GraphOptions(POLYGON_LAYER_OPTIONS.edge_type,
+                      POLYGON_LAYER_OPTIONS.degenerate_edges,
+                      POLYGON_LAYER_OPTIONS.duplicate_edges,
+                      POLYGON_LAYER_OPTIONS.sibling_pairs)
+    new_edges, _, err = process_edges(go, edges)
+    if err is None and not new_edges:
+        return probe_side()
+    return "other"
