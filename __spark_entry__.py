@@ -301,6 +301,21 @@ def _snapped_oracle_sql() -> str:
               "FROM pipjoin")
 
 
+def _selfsplit_oracle_sql() -> str:
+    """splitCrossingEdges oracle: PIP replay over the split-and-snapped
+    bowtie rings' vertex constants (xor over the two lobes)."""
+    from s2_geometry_kotlin_spark.functions.sqlgen import (pip_join_ctes,
+                                                           xyz_sql)
+    from s2_geometry_kotlin_spark.operators.snapping import \
+        selfsplit_layer
+    return ("WITH " + P.pages_cte_duckdb() + ",\n"
+            f"pgeo AS ({_GEO_SRC_DUCK}),\n"
+            f"pxyz AS (SELECT url, {xyz_sql('lat', 'lon')} FROM pgeo),\n"
+            + pip_join_ctes(selfsplit_layer()) + "\n"
+            + "SELECT url, CAST(polygon_id AS BIGINT) AS polygon_id "
+              "FROM pipjoin")
+
+
 def q_pages_in_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3 INTERSECTION: pages inside constructed A∩B per fixture pair."""
     from s2_geometry_kotlin_spark.operators.booleans import pages_in_boolean
@@ -616,6 +631,16 @@ def q_pages_in_snapped_layer(spark: SparkSession,
     return pages_in_snapped(_geo_pages(spark, sf_dir), spark)
 
 
+def q_pages_in_selfsplit_layer(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """B1 + splitCrossingEdges: a SELF-CROSSING bowtie layer is split
+    at its materialized crossing vertices and snap-rounded
+    (S2Builder.kt:489-520), then joined like any layer."""
+    from s2_geometry_kotlin_spark.operators.snapping import \
+        pages_in_selfsplit
+    return pages_in_selfsplit(_geo_pages(spark, sf_dir), spark)
+
+
 def q_cell_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch twin of the stateful streaming session tracker (the
     SAME cell_session_state operator the stream==batch tests compare
@@ -707,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_loop_areas": q_polygon_loop_areas,
         "route_project_simplified": q_route_project_simplified,
         "pages_in_snapped_layer": q_pages_in_snapped_layer,
+        "pages_in_selfsplit_layer": q_pages_in_selfsplit_layer,
         "cell_sessions_batch": q_cell_sessions_batch,
         "cell_sessions_gap": q_cell_sessions_gap,
         "token_stats": ts.q_token_stats,
@@ -844,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "route_project_simplified": _pxyz_with(
             route_project_sql(_routes_simplified(), ROUTE_RADIUS_RAD)),
         "pages_in_snapped_layer": _snapped_oracle_sql(),
+        "pages_in_selfsplit_layer": _selfsplit_oracle_sql(),
         "cell_sessions_batch": _cell_sessions_oracle_sql(),
         "cell_sessions_gap": _cell_sessions_gap_oracle_sql(),
         "token_stats": ts.token_stats_sql(),

@@ -381,7 +381,9 @@ def _drop_degeneracies(chain: list[int]) -> list[int]:
 
 def snap_loops(loops: list[np.ndarray], snap: SnapFunction,
                simplify_edge_chains: bool = False,
-               sites: np.ndarray | None = None) -> list[np.ndarray]:
+               sites: np.ndarray | None = None,
+               split_crossing_edges: bool = False,
+               idempotent: bool = False) -> list[np.ndarray]:
     """Snap-round a set of loops together (shared site set, so nearby
     vertices across loops merge consistently).  Returns the surviving
     snapped loops; degenerate loops (collapsed below 3 distinct sites)
@@ -391,8 +393,24 @@ def snap_loops(loops: list[np.ndarray], snap: SnapFunction,
     snap guarantees — see _simplify_ring.  An explicit `sites` array
     lets several layers share one site set (snap_polygon_pair)."""
     loops = [np.asarray(lv, dtype=np.float64) for lv in loops]
+    edge_list = [(lv[i], lv[(i + 1) % len(lv)]) for lv in loops
+                 for i in range(len(lv))]
+    if idempotent and not (split_crossing_edges or
+                           simplify_edge_chains) and sites is None and \
+            input_meets_guarantees(np.concatenate(loops, axis=0),
+                                   edge_list, snap):
+        # S2Builder.kt:581-599: input already meets the output
+        # guarantees; pass through unchanged
+        return [lv.copy() for lv in loops]
     if sites is None:
         all_v = np.concatenate(loops, axis=0)
+        if split_crossing_edges:
+            # S2Builder.kt:489-520: self/mutual crossings become
+            # shared vertices of both edges
+            xpts = crossing_vertices(edge_list)
+            if xpts:
+                all_v = np.concatenate([all_v, np.asarray(xpts)],
+                                       axis=0)
         sites = choose_sites(all_v, snap)
     # pass 1: snap every loop, recording the input edge that produced
     # each output edge (owners[k] = input edge owning the ring edge
@@ -598,3 +616,113 @@ def snap_polygon_pair(a: Polygon, b: Polygon,
     sb = snap_loops(lb, snap, sites=sites)
     return (Polygon([Loop(v) for v in sa]),
             Polygon([Loop(v) for v in sb]))
+
+
+# ---------------------------------------------------------------------------
+# S2Builder options: splitCrossingEdges and idempotent
+# ---------------------------------------------------------------------------
+
+def crossing_vertices(edge_list: list) -> list[np.ndarray]:
+    """splitCrossingEdges support (S2Builder.kt:520 and the
+    edge-snap-radius note at :384-397): intersection points of every
+    crossing pair among the input edges, to be added to the site
+    candidates so both edges snap through a common vertex.  `edge_list`
+    is [(x, y), ...] over ALL layers of the build."""
+    from .edges import edge_intersection
+    out = []
+    for i in range(len(edge_list)):
+        x, y = edge_list[i]
+        for j in range(i + 1, len(edge_list)):
+            c, d = edge_list[j]
+            if pred.crossing_sign(x, y, c, d) > 0:
+                out.append(edge_intersection(x, y, c, d))
+    return out
+
+
+def input_meets_guarantees(vertices: np.ndarray, edge_list: list,
+                           snap: SnapFunction) -> bool:
+    """The `idempotent` pre-check (S2Builder.kt:581-599): snapping is
+    skipped iff every vertex is already at a snapped location, every
+    DISTINCT vertex pair is separated by >= min_vertex_separation, and
+    every non-incident edge/vertex pair by >=
+    min_edge_vertex_separation.  Exact duplicates are allowed — they
+    merge to one site without moving anything."""
+    vertices = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    if len(vertices) == 0:
+        return True
+    snapped = snap.snap_points(vertices)
+    if not np.allclose(snapped, vertices, atol=1e-15, rtol=0.0):
+        return False
+    # distinct vertex pairs
+    sep2 = _chord2(snap.min_vertex_separation())
+    if sep2 > 0:
+        d2 = np.maximum(0.0, 2.0 - 2.0 * (vertices @ vertices.T))
+        np.fill_diagonal(d2, np.inf)
+        close = d2 < sep2
+        if close.any():
+            ii, jj = np.nonzero(close)
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                if not np.array_equal(vertices[i], vertices[j]):
+                    return False
+    # non-incident edge/vertex pairs
+    ev2 = _chord2(snap.min_edge_vertex_separation())
+    if ev2 > 0:
+        for (x, y) in edge_list:
+            if np.array_equal(x, y):
+                continue
+            xs = np.broadcast_to(x, vertices.shape)
+            ys = np.broadcast_to(y, vertices.shape)
+            d2 = point_edge_chord2_pairwise(vertices, xs, ys)
+            for k in np.flatnonzero(d2 < ev2).tolist():
+                w = vertices[k]
+                if not (np.array_equal(w, x) or np.array_equal(w, y)):
+                    return False
+    return True
+
+
+def snap_polylines(lines: list[np.ndarray], snap: SnapFunction,
+                   split_crossing_edges: bool = False,
+                   idempotent: bool = True,
+                   sites: np.ndarray | None = None
+                   ) -> list[np.ndarray]:
+    """Snap-round polylines (S2PolylineLayer semantics: degenerate
+    edges discarded, consecutive duplicate sites collapse).  Supports
+    the two remaining S2Builder options:
+
+    - split_crossing_edges (S2Builder.kt:489-520): self- and mutual
+      crossings become shared vertices of both edges;
+    - idempotent (S2Builder.kt:581-599): input already meeting the
+      snap guarantees passes through unchanged.
+
+    Mirrors S2BuilderUnitTest selfIntersectingPolyline /
+    idempotencySnaps* fixtures (tests/test_builder_options.py)."""
+    lines = [np.asarray(ln, dtype=np.float64) for ln in lines]
+    edge_list = [(ln[i], ln[i + 1]) for ln in lines
+                 for i in range(len(ln) - 1)]
+    all_v = (np.concatenate(lines, axis=0) if lines
+             else np.zeros((0, 3)))
+    if idempotent and not split_crossing_edges and sites is None and \
+            input_meets_guarantees(all_v, edge_list, snap):
+        return [ln.copy() for ln in lines]
+    if sites is None:
+        cand = [all_v]
+        if split_crossing_edges:
+            xpts = crossing_vertices(edge_list)
+            if xpts:
+                cand.append(np.asarray(xpts))
+        sites = choose_sites(np.concatenate(cand, axis=0), snap)
+    out = []
+    for ln in lines:
+        verts: list[int] = []
+        for i in range(len(ln) - 1):
+            seg = snap_edge(ln[i], ln[i + 1], sites, snap)
+            if verts and seg and seg[0] == verts[-1]:
+                seg = seg[1:]
+            verts.extend(seg)
+        dedup: list[int] = []
+        for v in verts:
+            if not dedup or dedup[-1] != v:
+                dedup.append(v)
+        if len(dedup) >= 2:
+            out.append(sites[dedup])
+    return out

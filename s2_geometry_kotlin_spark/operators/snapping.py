@@ -28,6 +28,7 @@ from ..kernel.builder_snap import CellIdSnap, snap_loops
 from ..kernel.regions import Loop, Polygon
 
 SNAP_LEVEL = 13
+SNAP_LEVEL_SPLIT = 16
 
 
 def noisy_core_loops() -> list[tuple[int, np.ndarray]]:
@@ -75,6 +76,56 @@ def pages_in_snapped(pages: DataFrame, spark: SparkSession) -> DataFrame:
     the standard broadcast spatial join."""
     from .spatial_join import spatial_join
     joined = spatial_join(pages, spark, snapped_layer(),
+                          strategy="broadcast")
+    return joined.select("url", F.col("polygon_id").cast("long")
+                         .alias("polygon_id"))
+
+
+def selfcrossing_core_loops() -> list[tuple[int, np.ndarray]]:
+    """Deterministic SELF-CROSSING variant of each clean city_core
+    ring: swapping two consecutive vertices twists the ring into a
+    bowtie, so edges (v0, v2) and (v1, v3) cross — the single
+    self-intersecting input layer the S2Builder splitCrossingEdges
+    option exists for (S2Builder.kt:489-520)."""
+    from ..sources.layers import fixture_layer
+    out = []
+    for layer, pid, poly in fixture_layer():
+        if layer != "city_core":
+            continue
+        v = poly.loops[0].vertices.copy()
+        v[[1, 2]] = v[[2, 1]]
+        out.append((pid, v))
+    return out
+
+
+_SELFSPLIT: list | None = None
+
+
+def selfsplit_layer() -> list[tuple[str, int, Polygon]]:
+    """Snap-round the self-crossing rings with split_crossing_edges:
+    each bowtie splits at the materialized crossing vertex into its two
+    lobes, assembled as one polygon (xor of disjoint lobes = union)."""
+    global _SELFSPLIT
+    if _SELFSPLIT is None:
+        # finer snap than the noisy layer: the bowtie's small lobe
+        # spans ~2 ring vertices (city_core radius 0.05 deg); level-13
+        # sites (~1.3 km) would collapse it, level-16 (~150 m) keeps
+        # both lobes as real rings
+        snap = CellIdSnap(SNAP_LEVEL_SPLIT)
+        _SELFSPLIT = []
+        for pid, v in selfcrossing_core_loops():
+            rings = snap_loops([v], snap, split_crossing_edges=True)
+            _SELFSPLIT.append(("selfsplit_core", pid,
+                               Polygon([Loop(r) for r in rings])))
+    return _SELFSPLIT
+
+
+def pages_in_selfsplit(pages: DataFrame,
+                       spark: SparkSession) -> DataFrame:
+    """(url, polygon_id) membership in the split-and-snapped bowtie
+    layer via the standard broadcast spatial join."""
+    from .spatial_join import spatial_join
+    joined = spatial_join(pages, spark, selfsplit_layer(),
                           strategy="broadcast")
     return joined.select("url", F.col("polygon_id").cast("long")
                          .alias("polygon_id"))
