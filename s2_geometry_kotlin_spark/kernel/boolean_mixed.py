@@ -658,14 +658,10 @@ def _merge_chain(kept: list, xgen: set, v_keys: set) -> list:
 
 
 def _oriented_loops_any(poly) -> list:
-    """oriented_boundary_loops that also accepts the inverted
-    (more-than-half-sphere) representation: the boundary is the same,
-    interior-on-left is the reverse of the complement's."""
-    from .booleanop import oriented_boundary_loops
-    if getattr(poly, "inverted", False):
-        return [lo[::-1].copy()
-                for lo in oriented_boundary_loops(poly.complement())]
-    return oriented_boundary_loops(poly)
+    """Alias of booleanop.oriented_boundary_loops_any (single
+    implementation of the inversion-aware orientation)."""
+    from .booleanop import oriented_boundary_loops_any
+    return oriented_boundary_loops_any(poly)
 
 
 def _solid_result_edges(A: "_Operand", B: "_Operand", op: str) -> list:

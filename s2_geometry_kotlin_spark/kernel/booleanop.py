@@ -63,6 +63,17 @@ from .regions import Loop, Polygon
 OPS = ("intersection", "union", "difference", "symmetric_difference")
 
 
+def oriented_boundary_loops_any(poly: Polygon) -> list[np.ndarray]:
+    """oriented_boundary_loops accepting the inverted
+    (more-than-half-sphere) representation too: the boundary point set
+    is identical, interior-on-left is the REVERSE of the complement's
+    orientation."""
+    if getattr(poly, "inverted", False):
+        return [lo[::-1].copy()
+                for lo in oriented_boundary_loops(poly.complement())]
+    return oriented_boundary_loops(poly)
+
+
 def oriented_boundary_loops(poly: Polygon) -> list[np.ndarray]:
     """Loops oriented interior-on-left: the xor model stores every loop
     as a disc (S2Polygon.kt:83-84 normalization), so odd-depth loops
@@ -496,13 +507,16 @@ def polygon_boolean_full(a: Polygon, b: Polygon, op: str,
     res = BooleanResult(poly)
     if model == "SEMI_OPEN":
         return res
-    if getattr(a, "inverted", False) or getattr(b, "inverted", False):
-        raise NotImplementedError(
-            "OPEN/CLOSED degeneracy emission for inverted operands is "
-            "out of scope; complement the operands (Polygon.complement) "
-            "and map the op accordingly")
-    la = oriented_boundary_loops(a)
-    lb = oriented_boundary_loops(b)
+    # Inverted (more-than-half-sphere) operands need no special rules
+    # here: inversion changes which side of the boundary is interior,
+    # not the boundary itself, and every test below is region-semantic
+    # — shared sub-edges are classified by interior-on-LEFT orientation
+    # (inversion-aware via oriented_boundary_loops_any, the complement
+    # identity applied to orientation), solid membership goes through
+    # Polygon.contains_point (parity bit included), and the solid rings
+    # come from polygon_boolean's own complement reduction.
+    la = oriented_boundary_loops_any(a)
+    lb = oriented_boundary_loops_any(b)
     sub_a, sub_b = _split_edges(la, lb)
     shared_a, _ = _match_shared(sub_a, sub_b)
     # shared sub-edges with the operand interiors on OPPOSITE sides

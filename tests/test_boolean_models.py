@@ -156,3 +156,54 @@ def test_polyline_model_on_coincident_edge():
     mid = np.stack([pt(5, 3), pt(5, 7)])
     for model in ("OPEN", "SEMI_OPEN", "CLOSED"):
         assert kept_len(mid, model) == 2
+
+
+def test_inverted_operand_degeneracies_de_morgan():
+    """OPEN/CLOSED degeneracy emission for inverted operands
+    (S2Polygon complement identities): for adjacent operands A, B
+    sharing a border, c(A) n c(B) = c(A u B), so the CLOSED
+    intersection of the complements must emit the shared border as
+    degenerate edge SHELLS exactly where the OPEN union of the
+    originals emits it as slit HOLES — the same measure-zero set seen
+    from the two sides of De Morgan."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.booleanop import \
+        polygon_boolean_full
+    from s2_geometry_kotlin_spark.operators.booleans import adjacent_layer
+
+    def eset(edges):
+        return {(tuple(np.round(u, 9)), tuple(np.round(v, 9)))
+                for (u, v) in edges} | \
+               {(tuple(np.round(v, 9)), tuple(np.round(u, 9)))
+                for (u, v) in edges}
+
+    pairs = {}
+    for name, pid, poly in adjacent_layer():
+        pairs.setdefault(pid // 2, []).append(poly)
+    checked = 0
+    for pid, (a, b) in sorted(pairs.items()):
+        if len({tuple(np.round(v, 9)) for lp in a.loops
+                for v in lp.vertices} &
+               {tuple(np.round(v, 9)) for lp in b.loops
+                for v in lp.vertices}) == 0:
+            continue
+        ca, cb = a.complement(), b.complement()
+        # the path under test really is the inverted representation
+        assert ca.inverted and cb.inverted
+        closed_int = polygon_boolean_full(ca, cb, "intersection",
+                                          model="CLOSED")
+        open_union = polygon_boolean_full(a, b, "union", model="OPEN")
+        assert open_union.degenerate_edge_holes, "fixture has a border"
+        assert eset(closed_int.degenerate_edge_shells) == \
+            eset(open_union.degenerate_edge_holes)
+        # and the solid parts are complementary where defined: a point
+        # strictly inside A u B is outside c(A) n c(B)
+        from s2_geometry_kotlin_spark.kernel.measures import \
+            loop_centroid
+        c = loop_centroid(a.loops[0].vertices)
+        c = c / np.linalg.norm(c)
+        assert open_union.polygon.contains_point(c)
+        assert not closed_int.polygon.contains_point(c)
+        checked += 1
+    assert checked >= 1
