@@ -139,6 +139,28 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         timed("tile_index", lambda: force(
             geo.select("url", s2f.tile_index(
                 F.col("lat"), F.col("lon")).alias("tile"))))
+        # sf1 dedup leg (VERDICT r4 item 7): MinHash + components over
+        # REPL_DOCS x-replicated documents — replicas share text, the
+        # heavy-duplication (mirror-page) regime, so candidate volume
+        # scales with both corpus size and dup-group size
+        repl = int(os.environ.get("S2_BENCH_DEDUP_REPL", "10"))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        big_docs_dir = "/tmp/s2_bench_docs_repl"
+        (docs.withColumn("rep", F.explode(F.array(
+             *[F.lit(i) for i in range(repl)])))
+         .withColumn("doc_id",
+                     (F.col("doc_id") * repl + F.col("rep")))
+         .drop("rep")
+         .write.mode("overwrite")
+         .parquet(f"{big_docs_dir}/documents.parquet"))
+        from s2_geometry_kotlin_spark.operators.components import \
+            q_dedup_components as q_dc
+        from s2_geometry_kotlin_spark.operators.dedup import \
+            q_minhash_lsh_pairs as q_mh
+        timed(f"minhash_lsh_pairs_{repl}x", lambda: force(
+            q_mh(spark, big_docs_dir)), n_reps=1)
+        timed(f"dedup_components_{repl}x", lambda: force(
+            q_dc(spark, big_docs_dir)), n_reps=1)
         return timings, n_pages
     # q4b: the same broadcast/salted pair at 4x the pages (8M at the
     # default sf0.1 bench) — multi-second rows where the VM noise band
@@ -167,7 +189,13 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     pages_xyz = geo.select("url", "cell_id", x.alias("x"), y.alias("y"),
                            z.alias("z"))
     timed("knn_pages_cities", lambda: force(
-        knn_points(pages_xyz, spark, qs, 8, n_pages_hint=n_pages)))
+        knn_points(pages_xyz, spark, qs, 8, n_pages_hint=n_pages)),
+        n_reps=join_reps)
+    # kNN stage split: same candidate scan+join with k=1, so a drift in
+    # knn_pages_cities decomposes into candidate-stage vs top-k-window
+    timed("knn_stage_k1", lambda: force(
+        knn_points(pages_xyz, spark, qs, 1, n_pages_hint=n_pages)),
+        n_reps=2)
     # q7: pages within 150km of the fixture routes (polyline join,
     # min-fold exact distance — pure JVM)
     from s2_geometry_kotlin_spark.operators.routes import (fixture_routes,
@@ -197,9 +225,22 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         q_dedup_components
     from s2_geometry_kotlin_spark.operators.dedup import q_minhash_lsh_pairs
     timed("minhash_lsh_pairs", lambda: force(
-        q_minhash_lsh_pairs(spark, sf_dir)), n_reps=1)
+        q_minhash_lsh_pairs(spark, sf_dir)), n_reps=2)
+    # stage split: LSH candidate generation without the Jaccard verify
+    timed("minhash_stage_cand", lambda: force(
+        q_minhash_lsh_pairs(spark, sf_dir, verify=False)), n_reps=2)
     timed("dedup_components", lambda: force(
-        q_dedup_components(spark, sf_dir)), n_reps=1)
+        q_dedup_components(spark, sf_dir)), n_reps=2)
+    # stage split: min-label propagation over pre-materialized pairs —
+    # dedup_components minus this is the pair-generation share
+    from s2_geometry_kotlin_spark.operators.components import \
+        connected_components
+    pairs_cached = (q_minhash_lsh_pairs(spark, sf_dir)
+                    .select("doc_a", "doc_b").cache())
+    pairs_cached.count()
+    timed("dedup_stage_propagation", lambda: force(
+        connected_components(pairs_cached)), n_reps=2)
+    pairs_cached.unpersist()
     return timings, n_pages
 
 
@@ -238,6 +279,14 @@ def main() -> None:
     spark = build_session(cpus)
     timings, n_pages = run_queries(spark, sf_dir)
     recall = {} if HEADLINE_ONLY else ann_recall(spark, sf_dir)
+    recall_clustered = {}
+    if not HEADLINE_ONLY:
+        # VERDICT r4 item 4: the planted-cluster regime — deterministic
+        # clustered embedding table, same variants, same ground truth
+        from s2_geometry_kotlin_spark.operators.similarity import \
+            write_clustered_embeddings
+        cdir = write_clustered_embeddings("/tmp/s2_bench_clustered")
+        recall_clustered = ann_recall(spark, cdir)
     # diagnostics are excluded from the headline total so `value` stays
     # comparable across rounds (stage times double-count geocode; the
     # ivf pair is a kernel A/B, not a headline query; stage splits and
@@ -246,7 +295,9 @@ def main() -> None:
             "geocode_stage_geoparse", "ivf_assign_hof",
             "ivf_assign_arrow", "minhash_lsh_pairs", "dedup_components",
             "spatial_join_stage_cand", "spatial_join_salted_stage_cand",
-            "spatial_join_8m", "spatial_join_salted_8m"}
+            "spatial_join_8m", "spatial_join_salted_8m",
+            "knn_stage_k1", "minhash_stage_cand",
+            "dedup_stage_propagation"}
     total = round(sum(v for k, v in timings.items() if k not in diag), 3)
     join_secs = timings.get("spatial_join", 1.0)
     geocode_secs = timings.get("geocode", 1.0)
@@ -261,6 +312,7 @@ def main() -> None:
         "pages_per_sec_geocode_join": round(
             n_pages / max(1e-9, geocode_secs + join_secs), 1),
         "ann_recall_at_10": recall,
+        "ann_recall_at_10_clustered": recall_clustered,
         "salted_vs_broadcast_8m": round(
             timings.get("spatial_join_salted_8m", 0.0)
             / max(1e-9, timings.get("spatial_join_8m", 1.0)), 3),

@@ -101,7 +101,8 @@ WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
       >= {JACCARD_THRESHOLD}"""
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                        verify: bool = True) -> DataFrame:
     """MinHash-LSH candidates: per-band min hash over salted shingle
     md5s; pairs sharing any band bucket, with verified Jaccard.
 
@@ -124,6 +125,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("x.doc_id").alias("doc_a"),
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
+    if not verify:
+        # bench stage split: candidate generation only (band build +
+        # bucket equi-join), isolating the LSH stage from the exact
+        # Jaccard verify stage
+        return cand
     # exact Jaccard over candidate pairs only: fan each pair out to the
     # a-side shingle list, count b-side matches per pair
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -524,3 +524,49 @@ ranked AS (
 )
 SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# clustered synthetic embeddings: the realistic ANN recall regime
+# ---------------------------------------------------------------------------
+
+CLUSTERED_N = 20000
+CLUSTERED_NCLUSTERS = 48
+# noise std per dim: total noise norm ~ sigma*sqrt(DIM) = 0.5 against
+# unit-norm centers — tight, well-separated clusters (the regime real
+# text/image embeddings live in; sigma*sqrt(DIM) ~ 2 would drown the
+# planted structure and revert to the isotropic bound)
+CLUSTERED_SIGMA = 0.0625
+
+
+def write_clustered_embeddings(out_dir: str, n: int = CLUSTERED_N,
+                               n_clusters: int = CLUSTERED_NCLUSTERS,
+                               seed: int = 11) -> str:
+    """Deterministic planted-cluster embedding table, schema-identical
+    to the driver's embeddings.parquet (vec_id, list<float> embedding,
+    label).  Isotropic vectors bound ANN recall by fraction-probed
+    (BENCH_r04 discussion); real text/image embeddings are clustered,
+    where bucketed methods recover recall because a query's true
+    neighbors share its planted cluster.  label = planted cluster id,
+    so retrieval quality is auditable."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_clusters, DIM))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = np.arange(n) % n_clusters
+    vecs = cents[assign] + CLUSTERED_SIGMA * \
+        rng.standard_normal((n, DIM))
+    os.makedirs(out_dir, exist_ok=True)
+    path = f"{out_dir}/embeddings.parquet"
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(
+            [row.astype(np.float32) for row in vecs],
+            type=pa.list_(pa.float32())),
+        "label": pa.array(assign.astype(np.int32)),
+    })
+    pq.write_table(tbl, path)
+    return out_dir

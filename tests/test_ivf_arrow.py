@@ -30,3 +30,43 @@ def test_arrow_assignment_matches_hof(spark):
     h = {r["vec_id"]: r["cid"] for r in hof.collect()}
     assert a == h
     assert len(a) > 0
+
+
+def test_clustered_embeddings_recall(spark):
+    """VERDICT r4 item 4: on planted-cluster embeddings (the realistic
+    regime) IVF recall@10 reaches >=0.8 at nprobe<=8 — here the
+    k-means lists recover the planted clusters and every variant beats
+    its isotropic counterpart ordering (bucketed < multiprobe < IVF)."""
+    import tempfile
+
+    from s2_geometry_kotlin_spark.operators import similarity as sim
+    d = tempfile.mkdtemp(prefix="clustered_emb_t_")
+    sim.write_clustered_embeddings(d, n=2500)
+    brute = (sim.q_embed_topk_brute(spark, d)
+             .select("query_id", "vec_id").cache())
+    n = brute.count()
+    assert n > 0
+
+    def recall(df):
+        return (df.select("query_id", "vec_id")
+                .join(brute, ["query_id", "vec_id"]).count() / n)
+
+    r_b = recall(sim.q_embed_ann_bucketed(spark, d))
+    r_m = recall(sim.q_embed_ann_multiprobe(spark, d))
+    r_i8 = recall(sim.ivf_topk(spark, d, nprobe=8))
+    brute.unpersist()
+    assert r_i8 >= 0.8
+    assert r_b <= r_m <= r_i8
+
+
+def test_minhash_candidates_only_superset(spark):
+    """The bench stage split (verify=False) returns the raw LSH
+    candidates — a superset of the verified pairs."""
+    from s2_geometry_kotlin_spark.operators.dedup import \
+        q_minhash_lsh_pairs
+    sf = "/root/testdata/sf0.001"
+    cand = {(r.doc_a, r.doc_b) for r in
+            q_minhash_lsh_pairs(spark, sf, verify=False).collect()}
+    verified = {(r.doc_a, r.doc_b) for r in
+                q_minhash_lsh_pairs(spark, sf).collect()}
+    assert verified <= cand
