@@ -180,48 +180,30 @@ def _pick_clockwise(v: np.ndarray, incoming_from: np.ndarray,
 
 def _stitch(subedges: list[tuple[np.ndarray, np.ndarray]]) \
         -> list[np.ndarray]:
-    """Assemble directed sub-edges into closed loops by exact endpoint
-    match.  In general position each kept vertex has exactly one kept
-    outgoing edge; at shared/pinch vertices (4+ incident kept edges) the
-    continuation is chosen by the clockwise face rule, which yields
-    simple loops touching at the vertex instead of self-crossing ones."""
-    by_start: dict[tuple, list[int]] = {}
-    for i, (v0, _) in enumerate(subedges):
-        by_start.setdefault(_vkey(v0), []).append(i)
-    used = [False] * len(subedges)
-    loops = []
-    for i in range(len(subedges)):
-        if used[i]:
-            continue
-        start_edge = i
-        verts = [subedges[i][0]]
-        cur = i
-        used[i] = True
-        while True:
-            v_prev = subedges[cur][0]
-            end = subedges[cur][1]
-            key = _vkey(end)
-            cands = [k for k in by_start.get(key, ()) if not used[k]]
-            at_start = key == _vkey(subedges[start_edge][0])
-            if at_start:
-                cands = cands + [start_edge]
-            if not cands:
-                raise ValueError(
-                    "boolean-op stitch failed: open chain (inputs not in "
-                    "general position? snap them first)")
-            if len(cands) == 1:
-                nxt = cands[0]
-            else:
-                nxt = cands[_pick_clockwise(
-                    end, v_prev, [subedges[k][1] for k in cands])]
-            if nxt == start_edge:
-                break
-            verts.append(end)
-            used[nxt] = True
-            cur = nxt
-        if len(verts) >= 3:
-            loops.append(np.asarray(verts, dtype=np.float64))
-    return loops
+    """Assemble directed sub-edges into closed loops — UNIFIED onto the
+    builder graph substrate (the reference's actual architecture: the
+    boolean op emits an edge graph and the polygon layer assembles it,
+    Graph.kt:945-953): endpoints are interned to vertex ids, the edge
+    multiset runs through the polygon-layer GraphOptions policy
+    (DegenerateEdges.DISCARD + SiblingPairs.DISCARD) and
+    get_directed_loops with the geometric clockwise-face continuation,
+    so one assembly path serves B1, B3 and B5."""
+    from .builder_graph import assemble_polygon
+    vid: dict[tuple, int] = {}
+    verts: list[np.ndarray] = []
+    edges: list[tuple[int, int]] = []
+    for (v0, v1) in subedges:
+        ids = []
+        for v in (v0, v1):
+            k = _vkey(v)
+            if k not in vid:
+                vid[k] = len(verts)
+                verts.append(np.asarray(v, dtype=np.float64))
+            ids.append(vid[k])
+        edges.append((ids[0], ids[1]))
+    rings, _degs = assemble_polygon(verts, edges)
+    return [np.asarray([verts[i] for i in ring], dtype=np.float64)
+            for ring in rings if len(ring) >= 3]
 
 
 # keep-rules per op: (keep A-sub iff mid-inside-B == this, reverse kept

@@ -249,13 +249,25 @@ def _degree_maps(edges):
     return out_map, in_deg
 
 
-def get_directed_loops(edges: list[tuple[int, int]]) -> list[list[int]]:
+def get_directed_loops(edges: list[tuple[int, int]],
+                       vertices=None) -> list[list[int]]:
     """Graph.getDirectedLoops(LoopType.SIMPLE) for directed graphs:
     partition the edges into SIMPLE loops (no repeated vertices within
     a loop; a graph vertex may appear in several loops).  Requires a
     fully-assemblable graph — every vertex with indegree == outdegree —
     which is what the polygon-layer graph policies produce; raises on
-    open chains."""
+    open chains.
+
+    With `vertices` (coordinate array per vertex id), junctions with
+    several unused outgoing edges are resolved GEOMETRICALLY by the
+    clockwise-face rule — the role of the reference's left-turn map
+    (Graph.getLeftTurnMap, Graph.kt:610-700): each face is traced with
+    its interior on the left, so loops meeting at a pinch vertex touch
+    instead of crossing.  Without vertices the successor choice is the
+    first unused edge (sufficient when at most one continuation
+    exists)."""
+    if vertices is not None:
+        return _clockwise_loops(edges, vertices)
     out_map, _ = _degree_maps(edges)
     used = [False] * len(edges)
     loops: list[list[int]] = []
@@ -405,6 +417,51 @@ def build_polylines(edges: list[tuple[int, int]],
     return polylines
 
 
+def _clockwise_loops(edges: list[tuple[int, int]],
+                     vertices) -> list[list[int]]:
+    """Simple-loop partition with the clockwise-face continuation rule
+    (see get_directed_loops); raises ValueError on open chains."""
+    import numpy as _np
+
+    from .booleanop import _pick_clockwise
+    by_start: dict[int, list[int]] = {}
+    for i, (a, _b) in enumerate(edges):
+        by_start.setdefault(a, []).append(i)
+    used = [False] * len(edges)
+    loops: list[list[int]] = []
+    for i in range(len(edges)):
+        if used[i]:
+            continue
+        start_edge = i
+        loop = [i]
+        used[i] = True
+        cur = i
+        while True:
+            a, b = edges[cur]
+            cands = [k for k in by_start.get(b, ()) if not used[k]]
+            if b == edges[start_edge][0]:
+                cands = cands + [start_edge]
+            if not cands:
+                raise ValueError(
+                    "get_directed_loops: open chain (graph not "
+                    "loop-assemblable; snap the inputs first)")
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                v = _np.asarray(vertices[b])
+                nxt = cands[_pick_clockwise(
+                    v, _np.asarray(vertices[a]),
+                    [_np.asarray(vertices[edges[k][1]])
+                     for k in cands])]
+            if nxt == start_edge:
+                break
+            used[nxt] = True
+            loop.append(nxt)
+            cur = nxt
+        loops.append(loop)
+    return loops
+
+
 def assemble_polygon(vertices, edges: list[tuple[int, int]],
                      keep_degeneracies: bool = False):
     """Polygon-layer assembly on an index graph (S2PolygonLayer.build /
@@ -425,7 +482,7 @@ def assemble_polygon(vertices, edges: list[tuple[int, int]],
         opts = GraphOptions(EdgeType.DIRECTED, DegenerateEdges.DISCARD,
                             DuplicateEdges.KEEP, SiblingPairs.DISCARD)
         kept, _ids, _err = process_edges(opts, edges)
-        loops = get_directed_loops(kept)
+        loops = get_directed_loops(kept, vertices)
         return ([[kept[e][0] for e in loop] for loop in loops], [])
     from .degeneracies import find_polygon_degeneracies
     opts = GraphOptions(EdgeType.DIRECTED, DegenerateEdges.DISCARD_EXCESS,
