@@ -641,6 +641,18 @@ def q_pages_in_selfsplit_layer(spark: SparkSession,
     return pages_in_selfsplit(_geo_pages(spark, sf_dir), spark)
 
 
+def q_mixed_boolean_counts(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Mixed-dimension S2BooleanOperation surface (points + polylines +
+    polygons, kernel/boolean_mixed.py) over the fixture pair table.
+    Non-SQL-expressible constructive geometry -> registered without an
+    oracle (rows-only); values pinned by the 52-case reference parity
+    suite (tests/test_boolean_parity.py)."""
+    from s2_geometry_kotlin_spark.operators.mixed_boolean import \
+        q_mixed_boolean_counts as q
+    return q(spark, sf_dir)
+
+
 def q_cell_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch twin of the stateful streaming session tracker (the
     SAME cell_session_state operator the stream==batch tests compare
@@ -733,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_project_simplified": q_route_project_simplified,
         "pages_in_snapped_layer": q_pages_in_snapped_layer,
         "pages_in_selfsplit_layer": q_pages_in_selfsplit_layer,
+        "mixed_boolean_counts": q_mixed_boolean_counts,
         "cell_sessions_batch": q_cell_sessions_batch,
         "cell_sessions_gap": q_cell_sessions_gap,
         "token_stats": ts.q_token_stats,

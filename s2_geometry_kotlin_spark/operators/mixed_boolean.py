@@ -1,0 +1,95 @@
+"""Mixed-dimension boolean ops as a Spark operator.
+
+`kernel/boolean_mixed.py` implements S2BooleanOperation over points +
+polylines + polygons per row of tiny geometry; this module is the
+data-scale surface: an Arrow-batched mapInPandas over a DataFrame of
+geometry PAIRS in the reference's own text notation
+(S2TextParser.makeIndex, "points # polylines # polygons"), emitting the
+per-dimension edge counts and the result's emptiness/fullness.
+
+Plan shape at 100 TB: one narrow projection into a mapInPandas stage —
+geometry pairs partition arbitrarily (each row is independent), no
+shuffle, no driver collection; the kernel cost is per-row O(edges^2)
+over layer-sized geometry (tens of vertices), the same contract as the
+other layer kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RESULT_SCHEMA = ("pair_id long, op string, n_points long, "
+                 "n_polyline_edges long, n_polygon_edges long, "
+                 "is_empty boolean, is_full boolean")
+
+
+def boolean_op_table(pairs: DataFrame, op: str,
+                     polygon_model: str = "SEMI_OPEN",
+                     polyline_model: str = "CLOSED",
+                     snap_exponent: int | None = None) -> DataFrame:
+    """pairs(pair_id, geom_a, geom_b — makeIndex text) -> per-pair
+    result summary of `geom_a op geom_b` under the given models."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.boolean_mixed import MixedOptions, boolean_op_mixed
+        from ..kernel.textparser import make_index
+        opts = MixedOptions(polygon_model=polygon_model,
+                            polyline_model=polyline_model,
+                            snap_exponent=snap_exponent)
+        for pdf in batches:
+            out = []
+            for pid, ga, gb in zip(pdf["pair_id"], pdf["geom_a"],
+                                   pdf["geom_b"]):
+                res = boolean_op_mixed(make_index(ga), make_index(gb),
+                                       op, opts)
+                out.append((int(pid), op, len(res.edges[0]),
+                            len(res.edges[1]), len(res.edges[2]),
+                            bool(res.is_empty()), bool(res.full)))
+            yield pd.DataFrame(out, columns=[
+                "pair_id", "op", "n_points", "n_polyline_edges",
+                "n_polygon_edges", "is_empty", "is_full"])
+
+    return (pairs.select("pair_id", "geom_a", "geom_b")
+            .mapInPandas(run, RESULT_SCHEMA))
+
+
+def fixture_pairs(spark: SparkSession) -> DataFrame:
+    """Deterministic mixed-geometry pair table drawn from the ported
+    reference fixtures (tests/test_boolean_parity.py sources)."""
+    rows = [
+        (0, "0:0 | 1:0 # #", "0:0 | 2:0 # #"),
+        (1, "1:1 | 4:4 # #", "# # 0:0, 0:3, 3:0"),
+        (2, "# 1:1, 2:2 | 3:3, 3:3 | 6:6, 7:7 # ",
+         "# # 0:0, 0:5, 5:5, 5:0"),
+        (3, "# 1:1, 1:3, 3:3 | 3:3, 1:3 # ", "# # 1:1, 1:3, 3:3, 3:1"),
+        (4, "# # 0:0, 0:4, 4:4, 4:0",
+         "# # 1:1, 1:2, 2:2, 2:1; 5:5, 5:6, 6:6, 6:5"),
+        (5, "# 0:-5, 0:5, 5:0, -5:0 #", "# # 1:1, 1:-1, -1:-1, -1:1"),
+        (6, "# # 0:0, 0:2, 2:2, 2:0", "# # 1:1, 1:3, 3:3, 3:1"),
+        (7, "# 0:0, 0:1, 0:2 | 0:3, 0:4, 0:3 #",
+         "# 0:0, 1:0 | -1:1, 0:1, 1:1 | -1:2, 0:2 #"),
+    ]
+    return spark.createDataFrame(
+        rows, "pair_id long, geom_a string, geom_b string")
+
+
+def q_mixed_boolean_counts(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """All four ops over the fixture pair table — the driver-visible
+    surface of the mixed-dimension boolean engine.  Genuinely
+    non-SQL-expressible (constructive geometry), so it registers
+    without an oracle (rows-only check); the VALUES are pinned by the
+    52-case reference parity suite."""
+    pairs = fixture_pairs(spark)
+    parts = [boolean_op_table(pairs, op)
+             for op in ("union", "intersection", "difference",
+                        "symmetric_difference")]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pair_id", "op")
