@@ -711,3 +711,63 @@ def test_polygon_edges_degenerate_after_snapping():
     check(o, a, b, X,
           "# # 0:-1, 0:-1, 0:0, 0:1, 0:1, 0:0 "
           "| -1:0, -1:0, 0:0, 1:0, 1:0, 0:0 | 0:0, 0:0, 0:0, 0:0")
+
+
+# --- property sweep: point-set partition identities ------------------------
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_mixed_partition_identities(seed):
+    """For random points and polylines vs a fixed polygon, INTERSECTION
+    and DIFFERENCE partition each input: every dim-0 point appears in
+    exactly one of the two results, and the polyline sub-edge multisets
+    of the two results union to the full split of the input (identities
+    of the point-set semantics, independent of the fixtures)."""
+    import random
+
+    from collections import Counter
+
+    rng = random.Random(seed)
+    pts_txt = " | ".join(
+        f"{rng.uniform(-4, 8):.2f}:{rng.uniform(-4, 8):.2f}"
+        for _ in range(8))
+    lines_txt = " | ".join(
+        ", ".join(f"{rng.uniform(-4, 8):.2f}:{rng.uniform(-4, 8):.2f}"
+                  for _ in range(3))
+        for _ in range(3))
+    a = make_index(f"{pts_txt} # {lines_txt} #")
+    b = make_index("# # 0:0, 0:5, 5:5, 5:0")
+    o = opts()
+    inter = boolean_op_mixed(a, b, I, o)
+    diff = boolean_op_mixed(a, b, D, o)
+    # dim 0: exact partition
+    ci = Counter(inter.multiset(0))
+    cd = Counter(diff.multiset(0))
+    assert not (ci & cd), "a point in both intersection and difference"
+    assert sum(ci.values()) + sum(cd.values()) == len(a.points)
+    # dim 1: the two results' sub-edges are disjoint, and 1-D CONTENT
+    # (total angular length — split-invariant, unlike edge multisets)
+    # partitions: len(inter) + len(diff) == len(input lines); the union
+    # keeps exactly the difference's share (the intersection part is
+    # absorbed by the polygon).  Remnant degenerate edges carry zero
+    # length and don't perturb the sums.
+    import math as _m
+
+    import numpy as _np
+
+    def total_len(res):
+        out = 0.0
+        for (u, v) in res.edges[1]:
+            d = float(_np.clip(_np.dot(u, v), -1.0, 1.0))
+            out += _m.acos(d)
+        return out
+
+    ei = Counter(e for e in inter.multiset(1) if e[0] != e[1])
+    ed = Counter(e for e in diff.multiset(1) if e[0] != e[1])
+    assert not (ei & ed)
+    input_len = 0.0
+    for ln in a.lines:
+        for t in range(len(ln) - 1):
+            d = float(_np.clip(_np.dot(ln[t], ln[t + 1]), -1.0, 1.0))
+            input_len += _m.acos(d)
+    assert abs(total_len(inter) + total_len(diff) - input_len) < 1e-9
+    un = boolean_op_mixed(a, b, U, o)
+    assert abs(total_len(un) - total_len(diff)) < 1e-9

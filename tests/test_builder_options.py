@@ -141,3 +141,48 @@ def test_crossing_vertices_mutual_and_self():
     lat = math.degrees(math.asin(xp[0][2]))
     lng = math.degrees(math.atan2(xp[0][1], xp[0][0]))
     assert abs(lat) < 1e-9 and abs(lng) < 1e-9
+
+
+def test_snapping_does_not_rotate_vertices():
+    """:503-530 (snappingDoesNotRotateVertices): snapping a polygon
+    with the cell-id snap function preserves cyclic vertex order and
+    moves no vertex by more than the snap radius; snapping the OUTPUT
+    again changes nothing."""
+    from s2_geometry_kotlin_spark.kernel.builder_snap import CellIdSnap
+    inp = pts("49.9305505:-124.8345463, 49.9307448:-124.8299657, "
+              "49.9332101:-124.8301996, 49.9331224:-124.8341368")
+    snap = CellIdSnap(30)
+    o1 = snap_loops([inp], snap)
+    assert len(o1) == 1 and len(o1[0]) == 4
+    # displacement bound: every output vertex within snap_radius of its
+    # input vertex (order preserved up to rotation)
+    import numpy as _np
+    d = _np.linalg.norm(o1[0] - inp, axis=1)
+    assert float(d.max()) <= 2.0 * math.sin(snap.snap_radius / 2) + 1e-15
+    o2 = snap_loops([o1[0]], snap, idempotent=True)
+    assert _np.array_equal(o1[0], o2[0])
+
+
+def test_cellid_snapping_at_several_levels():
+    """:395-425 (s2CellIdSnappingAtAllLevels, sampled levels): the
+    snapped polygon is valid and every vertex moves by at most the
+    snap radius."""
+    import numpy as _np
+
+    from s2_geometry_kotlin_spark.kernel.builder_snap import CellIdSnap
+    from s2_geometry_kotlin_spark.kernel.validation import \
+        find_validation_error
+    loops = [pts("0:0, 0:2, 2:0"), pts("0:0, 0:-2, -2:-2, -2:0")]
+    for level in (6, 10, 14, 20, 30):
+        snap = CellIdSnap(level)
+        out = snap_loops([lv.copy() for lv in loops], snap)
+        assert out, f"level {level} collapsed everything"
+        assert find_validation_error(out) is None, level
+        max_chord = 2.0 * math.sin(min(snap.snap_radius, math.pi) / 2)
+        for snapped in out:
+            # every output vertex is within snap radius of SOME input
+            # vertex or edge (vertices only move to nearby sites)
+            allv = _np.concatenate(loops, axis=0)
+            d = _np.linalg.norm(
+                snapped[:, None, :] - allv[None, :, :], axis=2)
+            assert float(d.min(axis=1).max()) <= max_chord + 1e-12, level
