@@ -88,20 +88,38 @@ def compare_boundary(a: Loop, b: Loop, b_is_hole: bool = False) -> int:
     A contains edge XY iff Reversed(XY) == b_is_hole."""
     if not a.rect_bound().intersects_rect(b.rect_bound()):
         return -1
+    # full loops are handled as though surrounding the whole sphere
+    # (S2Loop.kt:819-821)
+    if a.is_full():
+        return 1
+    if b.is_full():
+        return -1
     if _loops_cross(a, b):
         return 0
-    # shared vertices: evaluate whether A contains the edge leaving the
-    # shared vertex (the CompareBoundaryRelation shared-vertex test)
+    # shared vertices: process EVERY shared-vertex semiwedge, tracking
+    # whether any B edge is contained and any excluded; both together
+    # mean the boundaries cross (CompareBoundaryRelation.wedgesCross,
+    # S2LoopRelation.kt:123-133)
     av, bv = a.vertices, b.vertices
     nb = len(bv)
+    na = len(av)
+    found_shared = False
+    contains_edge = False
+    excludes_edge = False
     for j in range(nb):
         m = find_vertex(a, bv[j])
         if m < 0:
             continue
-        na = len(av)
-        contains_edge = wedge_contains_semiwedge(
-            av[(m - 1) % na], av[m], av[(m + 1) % na],
-            bv[(j + 1) % nb], b_is_hole)
+        found_shared = True
+        if wedge_contains_semiwedge(av[(m - 1) % na], av[m],
+                                    av[(m + 1) % na],
+                                    bv[(j + 1) % nb], b_is_hole):
+            contains_edge = True
+        else:
+            excludes_edge = True
+        if contains_edge and excludes_edge:
+            return 0
+    if found_shared:
         return 1 if contains_edge else -1
     return 1 if a.contains_point(bv[0]) else -1
 
