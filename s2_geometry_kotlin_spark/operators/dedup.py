@@ -112,11 +112,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     all-pairs join the LSH exists to avoid.  tests/test_dedup_plan.py
     asserts the physical plan has no shingle-only equi-join."""
     sh = _shingle_rows(spark, sf_dir).cache()
-    banded = (sh.join(spark.range(N_BANDS)
-                      .select(F.col("id").cast("int").alias("band")))
-              .groupBy("doc_id", "band")
-              .agg(F.min(F.md5(F.concat_ws("#", "shingle", "band")))
-                   .alias("minhash")))
+    # all band minima in ONE aggregation keyed doc_id: the per-band
+    # salted md5s are computed map-side as N_BANDS columns and reduced
+    # by partial aggregation, so the shuffle moves ~one row per doc
+    # instead of N_BANDS x shingle rows (the former band-replicate
+    # join) — same (doc, band) -> min md5(shingle#band) definition,
+    # same oracle
+    per_doc = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(b)))))
+        .alias(f"m{b}") for b in range(N_BANDS)])
+    banded = (per_doc.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     F.col(f"m{b}").alias("minhash"))
+            for b in range(N_BANDS)])).alias("s"))
+        .select("doc_id", F.col("s.band").alias("band"),
+                F.col("s.minhash").alias("minhash")))
     x = banded.alias("x")
     y = banded.alias("y")
     cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
