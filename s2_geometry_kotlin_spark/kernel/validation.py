@@ -32,6 +32,9 @@ LOOP_SELF_INTERSECTION = "LOOP_SELF_INTERSECTION"
 POLYGON_LOOPS_CROSS = "POLYGON_LOOPS_CROSS"
 DUPLICATE_VERTICES = "DUPLICATE_VERTICES"
 POLYGON_LOOPS_SHARE_EDGE = "POLYGON_LOOPS_SHARE_EDGE"
+LOOP_NOT_ENOUGH_VERTICES = "LOOP_NOT_ENOUGH_VERTICES"
+INVALID_VERTEX = "INVALID_VERTEX"
+EMPTY_OR_FULL_LOOP = "EMPTY_OR_FULL_LOOP"
 
 
 def get_wedge_relation(a0, ab1, a2, b0, b2) -> str:
@@ -57,6 +60,30 @@ def find_validation_error(loops: list[np.ndarray]) -> tuple | None:
     None if the boundary is valid.  Returns (code, chain_a, edge_a,
     chain_b, edge_b) mirroring findCrossingError's reporting."""
     loops = [np.asarray(lv, dtype=np.float64) for lv in loops]
+    # structural pre-checks, in the reference's findValidationError
+    # order (S2Loop.findValidationErrorNoIndex + S2Polygon checks):
+    # vertices must be finite unit vectors; every non-sentinel loop
+    # needs >= 3 vertices; the empty/full sentinel loops are only valid
+    # as a polygon's SINGLE loop (S2PolygonIsValidUnitTest emptyLoop /
+    # fullLoop / vertexCount / duplicateVertex cases)
+    for li, lv in enumerate(loops):
+        if not np.isfinite(lv).all():
+            return (INVALID_VERTEX, li, 0, li, 0)
+        norms = np.linalg.norm(lv, axis=1)
+        if (np.abs(norms - 1.0) > 1e-12).any():
+            return (INVALID_VERTEX, li, 0, li, 0)
+        if len(lv) == 1:
+            if len(loops) > 1:
+                return (EMPTY_OR_FULL_LOOP, li, 0, li, 0)
+            continue
+        if len(lv) < 3:
+            return (LOOP_NOT_ENOUGH_VERTICES, li, 0, li, 0)
+        seen: dict = {}
+        for i, v in enumerate(lv):
+            k = (float(v[0]), float(v[1]), float(v[2]))
+            if k in seen:
+                return (DUPLICATE_VERTICES, li, seen[k], li, i)
+            seen[k] = i
     edges = []  # (chain, offset, v0, v1)
     for li, lv in enumerate(loops):
         n = len(lv)
