@@ -86,6 +86,17 @@ def interpolate_at_distance(a: np.ndarray, b: np.ndarray,
     dot = np.einsum("ij,ij->i", a, b)
     tan = b - dot[:, None] * a
     tn = np.sqrt(np.einsum("ij,ij->i", tan, tan))
+    # (anti)parallel endpoints leave only floating-point residue in the
+    # tangent, whose direction need not be perpendicular to `a` — the
+    # reference's robust cross product guarantees SOME exact
+    # perpendicular there (direction arbitrary, distance preserved);
+    # substitute pred.ortho(a) for those rows
+    degen = tn < 1e-14
+    if degen.any():
+        from . import predicates as _pred
+        for i in np.flatnonzero(degen).tolist():
+            tan[i] = _pred.ortho(a[i])
+            tn[i] = float(np.linalg.norm(tan[i]))
     safe = tn > 0
     tan[safe] = tan[safe] / tn[safe, None]
     return a * np.cos(ax)[:, None] + tan * np.sin(ax)[:, None]
@@ -93,8 +104,17 @@ def interpolate_at_distance(a: np.ndarray, b: np.ndarray,
 
 def interpolate(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
     """Fraction-t point on each edge (S2EdgeDistances.interpolate):
-    t=0 -> a, t=1 -> b, by angle."""
-    ang = np.arccos(np.clip(np.einsum("ij,ij->i", a, b), -1.0, 1.0))
+    t=0 -> a, t=1 -> b, by angle.
+
+    The edge angle uses atan2(|a x b|, a.b) — the S1Angle(x, y) form —
+    because arccos of the dot product cannot resolve angles below
+    ~1e-8: on a zero-length edge it reports 1.5e-8 rad and interpolate
+    would drift off the endpoint (caught by the ported
+    S2EdgeDistancesUnitTest interpolate fixture)."""
+    cr = np.cross(a, b)
+    s = np.sqrt(np.einsum("ij,ij->i", cr, cr))
+    c = np.einsum("ij,ij->i", a, b)
+    ang = np.arctan2(s, c)
     return interpolate_at_distance(a, b, np.asarray(t) * ang)
 
 

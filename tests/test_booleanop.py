@@ -283,13 +283,19 @@ def test_dirty_operand_auto_snaps():
         regular_loop_vertices
 
     b_ring = regular_loop_vertices(10.0, 20.0, 3.0, 8)
-    m = interpolate(b_ring[0][None], b_ring[1][None], 0.5)[0]
+    # A runs ALONG the sub-segment b0 -> mid of B's first edge before
+    # departing: a partial collinear overlap, the canonical
+    # general-position violation (exact shared-edge matching cannot
+    # pair it, and the split machinery cannot cut at a crossing that
+    # has no crossing sign)
+    m = b_ring[0] + b_ring[1]
+    m = m / np.linalg.norm(m)
 
     def ll(lat, lon):
         x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lon]))
         return np.array([x[0], y[0], z[0]])
 
-    a = Polygon([Loop(np.array([m, ll(16.0, 26.0), ll(16.0, 20.0)]))])
+    a = Polygon([Loop(np.array([b_ring[0], m, ll(16.0, 26.0)]))])
     b = Polygon([Loop(b_ring)])
     with pytest.raises(ValueError, match="open chain"):
         polygon_boolean(a, b, "intersection", snap_on_failure=False)
