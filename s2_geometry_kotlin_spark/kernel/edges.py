@@ -168,7 +168,14 @@ def edge_intersection(a: np.ndarray, b: np.ndarray, c: np.ndarray,
     nb = stable_cross(c, d)
     r = np.cross(na, nb)
     n = float(np.linalg.norm(r))
-    if n < 1e-28:
+    # the float direction error is ~eps * |na||nb| / |r|: escalate to
+    # exact arithmetic whenever the two great circles are grazing
+    # (|r| small RELATIVE to |na||nb|), not just on absolute underflow
+    # — the reference's getIntersectionStable error-bound escalation
+    # (S2EdgeCrossings.kt:320-360); pinned by the ported
+    # grazingIntersections ordering sweep
+    scale = float(np.linalg.norm(na)) * float(np.linalg.norm(nb))
+    if n < 0.125 * scale or n < 1e-28:
         # near-parallel great circles: exact arithmetic direction
         from fractions import Fraction as Fr
 
