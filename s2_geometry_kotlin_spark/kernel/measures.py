@@ -105,16 +105,25 @@ def loop_signed_area(vertices: np.ndarray) -> float:
     for i in range(1, n - 1):
         area += signed_triangle_area(vertices[0], vertices[i],
                                      vertices[i + 1])
-    # normalize into [-2pi, 2pi]
-    while area > 2 * math.pi:
-        area -= 4 * math.pi
-    while area < -2 * math.pi:
-        area += 4 * math.pi
+    area = math.remainder(area, 4 * math.pi)
     max_error = 9.73 * 2.22e-16 * n
+    # near-zero signed sums are disambiguated by the Gauss-Bonnet
+    # orientation: a degenerate CCW loop (curvature exactly +2*pi)
+    # has area 0; otherwise disagreement between the sum's sign and
+    # the curvature returns the smallest value of the correct sign,
+    # so a CW degenerate loop converts to ~4*pi in loop_area
+    # (S2LoopMeasures.kt:171-183; pinned by the ported
+    # getAreaConsistentWithSign fixture)
     if abs(area) <= max_error:
         curv = loop_curvature(vertices)
-        if (area >= 0) != (curv >= 0):
-            area = -area
+        if area == 0.0 and curv == 0.0:
+            return 0.0
+        if curv == 2 * math.pi:
+            return 0.0   # degenerate CCW
+        if area <= 0 and curv > 0:
+            return 5e-324
+        if area >= 0 and curv < 0:
+            return -5e-324
     return area
 
 

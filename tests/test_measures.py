@@ -82,3 +82,59 @@ def test_polygon_area_with_hole():
     # smaller but within 1% for 64 vertices
     cap = 2 * math.pi * (1 - math.cos(math.radians(5.0)))
     assert 0.98 * cap < a_shell < cap
+
+
+def test_area_consistent_with_curvature_named_loops():
+    """S2LoopUnitTest.areaConsistentWithCurvature (:459-472): by
+    Gauss-Bonnet, area == 2*pi - curvature for every named fixture
+    loop (within 1e-14)."""
+    import math as m
+    import sys
+
+    from s2_geometry_kotlin_spark.kernel.measures import (loop_area,
+                                                          loop_curvature)
+    sys.path.insert(0, "tests")
+    import test_loop_relations_matrix as mx
+    named = [mx.north_hemi, mx.north_hemi3, mx.south_hemi, mx.west_hemi,
+             mx.east_hemi, mx.near_hemi, mx.far_hemi, mx.candy_cane,
+             mx.small_ne_cw, mx.arctic_80, mx.antarctic_80, mx.loop_a,
+             mx.loop_b, mx.a_intersect_b, mx.a_union_b, mx.a_minus_b,
+             mx.b_minus_a, mx.loop_c, mx.loop_d, mx.loop_e, mx.loop_f,
+             mx.loop_g, mx.loop_h, mx.loop_i]
+    for lp in named:
+        area = loop_area(lp.vertices)
+        gauss = 2 * m.pi - loop_curvature(lp.vertices)
+        assert abs(area - gauss) <= 1e-14, lp
+
+
+def test_area_consistent_with_sign_degenerate_equator_loops():
+    """S2LoopUnitTest.getAreaConsistentWithSign (:475-501): degenerate
+    loops with all vertices on the equator have area ~0 when CCW
+    (normalized) and ~4*pi when CW, matching north-pole containment."""
+    import math as m
+    import random
+
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.measures import loop_area
+    from s2_geometry_kotlin_spark.kernel.regions import Loop
+    from s2_geometry_kotlin_spark.kernel.validation import \
+        find_validation_error
+    rng = random.Random(61)
+    done = 0
+    while done < 40:
+        nv = 3 + rng.randrange(4)
+        verts = []
+        for _ in range(nv):
+            lng = rng.random() * (m.pi / 2)
+            verts.append([m.cos(lng), m.sin(lng), 0.0])
+        v = np.asarray(verts)
+        if find_validation_error([v]) is not None:
+            continue
+        lp = Loop(v)
+        area = loop_area(v)
+        pole = np.array([0.0, 0.0, 1.0])
+        ccw = not lp.contains_point(pole)
+        want = 0.0 if ccw else 4 * m.pi
+        assert abs(area - want) <= 1e-14, (done, area, ccw)
+        done += 1
