@@ -627,6 +627,51 @@ class LatLngRect:
         return pole_cap
 
 
+def edge_lat_lng_bound(a: np.ndarray,
+                       b: np.ndarray) -> tuple:
+    """(lat_lo, lat_hi, LngInterval) bound of geodesic edge AB — the
+    S2LatLngRectBounder per-edge step (S2LatLngRectBounder.kt addPoint/
+    addLatLng): vertex extremes, shorter-arc longitude pair, plus the
+    edge-interior latitude extreme of the great circle (asin(|N_xy|/|N|)
+    at +-(-Nx*Nz, -Ny*Nz, Nxy^2)) when that point lies within the arc.
+    Returned WITHOUT the 4-eps conservative expansion (the loop bound
+    adds it once over all edges)."""
+    lat_a = math.atan2(float(a[2]),
+                       math.hypot(float(a[0]), float(a[1])))
+    lat_b = math.atan2(float(b[2]),
+                       math.hypot(float(b[0]), float(b[1])))
+    lat_lo, lat_hi = min(lat_a, lat_b), max(lat_a, lat_b)
+    li = LngInterval.from_point_pair(
+        math.atan2(float(a[1]), float(a[0])),
+        math.atan2(float(b[1]), float(b[0])))
+    nrm = np.cross(a, b)
+    n2 = float(nrm @ nrm)
+    nxy = math.hypot(float(nrm[0]), float(nrm[1]))
+    if n2 > 0.0 and nxy > 0.0:
+        # atan2(|N_xy|, |N_z|) is well-conditioned at BOTH extremes;
+        # asin(|N_xy|/|N|) cannot resolve latitudes within ~1e-8 of the
+        # pole (caught by the ported rectBounderMaxLatitudeRandom sweep)
+        max_lat = math.atan2(nxy, abs(float(nrm[2])))
+        p_ext = np.array([-nrm[0] * nrm[2], -nrm[1] * nrm[2],
+                          nxy * nxy])
+        p_ext /= np.linalg.norm(p_ext)
+        for cand, lat_cand in ((p_ext, max_lat), (-p_ext, -max_lat)):
+            if float(np.cross(a, cand) @ nrm) >= 0 and \
+                    float(np.cross(cand, b) @ nrm) >= 0:
+                lat_lo = min(lat_lo, lat_cand)
+                lat_hi = max(lat_hi, lat_cand)
+    elif n2 > 0.0:
+        # the edge lies on a meridian pair through a pole: it passes
+        # through the pole when the arc contains it
+        for pole, plat in ((np.array([0.0, 0.0, 1.0]), math.pi / 2),
+                           (np.array([0.0, 0.0, -1.0]), -math.pi / 2)):
+            if float(np.cross(a, pole) @ nrm) >= 0 and \
+                    float(np.cross(pole, b) @ nrm) >= 0:
+                lat_lo = min(lat_lo, plat)
+                lat_hi = max(lat_hi, plat)
+    return lat_lo, lat_hi, li
+
+
 class Loop:
     """Single ring, CCW interior-left (S2Loop semantics)."""
 
@@ -681,41 +726,13 @@ class Loop:
             self._bound = b
             return b
         v = self.vertices
-        lat = np.arctan2(v[:, 2], np.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2))
-        lng = np.arctan2(v[:, 1], v[:, 0])
-        lat_lo = float(lat.min())
-        lat_hi = float(lat.max())
-        # longitude interval accumulated per EDGE (shorter-arc pairs, as
-        # the reference bounder does) — vertex-only accumulation cannot
-        # see that e.g. an equator loop spans all longitudes
+        lat_lo, lat_hi = math.pi, -math.pi
         li = LngInterval.empty()
         for i in range(n):
-            li = li.union_interval(LngInterval.from_point_pair(
-                float(lng[i]), float(lng[(i + 1) % n])))
-        # account for edge latitude extremes: for edge AB with normal N,
-        # the great circle's max |lat| is asin(|N_xy| / |N|); extend the
-        # lat range when the extreme point lies within the edge's arc.
-        for i in range(n):
-            a = v[i]
-            b = v[(i + 1) % n]
-            nrm = np.cross(a, b)
-            n2 = float(nrm @ nrm)
-            if n2 == 0.0:
-                continue
-            nxy = math.sqrt(float(nrm[0]) ** 2 + float(nrm[1]) ** 2)
-            if nxy == 0.0:
-                continue
-            max_lat = math.asin(min(1.0, nxy / math.sqrt(n2)))
-            # latitude extreme points on the circle: +-p_ext
-            p_ext = np.array([-nrm[0] * nrm[2], -nrm[1] * nrm[2],
-                              nxy * nxy])
-            p_ext /= np.linalg.norm(p_ext)
-            for cand, lat_cand in ((p_ext, max_lat), (-p_ext, -max_lat)):
-                # inside arc test: (A x cand).N >= 0 and (cand x B).N >= 0
-                if float(np.cross(a, cand) @ nrm) >= 0 and \
-                        float(np.cross(cand, b) @ nrm) >= 0:
-                    lat_lo = min(lat_lo, lat_cand)
-                    lat_hi = max(lat_hi, lat_cand)
+            elo, ehi, eli = edge_lat_lng_bound(v[i], v[(i + 1) % n])
+            lat_lo = min(lat_lo, elo)
+            lat_hi = max(lat_hi, ehi)
+            li = li.union_interval(eli)
         lat_lo -= 4 * DBL_EPS
         lat_hi += 4 * DBL_EPS
         li = li.expanded(4 * DBL_EPS)
