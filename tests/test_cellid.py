@@ -253,3 +253,41 @@ def test_wrap_advance_identities():
         assert (c.advance_wrap(ids, period) == ids).all()
         fwd = c.advance_wrap(ids, 123)
         assert (c.advance_wrap(fwd, -123) == ids).all()
+
+
+def test_cell_area_invariants():
+    """S2CellUnitTest area invariants: face exact areas sum to 4*pi;
+    children's exact areas sum to the parent's; approx within 3% of
+    exact; average within ~a factor at low levels (S2Cell.kt:205-250)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.cellid import (
+        begin, cell_approx_area, cell_average_area, cell_exact_area,
+        end, next_id, sc_child)
+    total = 0.0
+    cid = int(begin(0))
+    stop = int(end(0))
+    while cid != stop:
+        total += cell_exact_area(cid)
+        cid = int(next_id(np.array([cid], dtype=np.uint64))[0])
+    assert abs(total - 4 * math.pi) < 1e-12
+
+    rng = random.Random(17)
+    # random cells at several levels: children partition the parent
+    cid = int(begin(0))
+    for lvl in range(0, 14):
+        exact = cell_exact_area(cid)
+        kids = [sc_child(cid, pos) for pos in range(4)]
+        ksum = sum(cell_exact_area(k) for k in kids)
+        assert abs(ksum - exact) <= 1e-12 * max(1.0, exact * 1e6)
+        approx = cell_approx_area(cid)
+        if lvl >= 2:
+            assert abs(approx - exact) / exact < 0.03
+        if lvl >= 5:
+            assert abs(approx - exact) / exact < 0.001
+        avg = cell_average_area(lvl)
+        assert 0.4 < avg / exact < 2.5
+        cid = kids[rng.randrange(4)]
