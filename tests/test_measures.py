@@ -138,3 +138,68 @@ def test_area_consistent_with_sign_degenerate_equator_loops():
         want = 0.0 if ccw else 4 * m.pi
         assert abs(area - want) <= 1e-14, (done, area, ccw)
         done += 1
+
+
+def test_true_centroid_fixtures():
+    """S2CentroidsUnitTest ports (:34-95): small-triangle median
+    property, semi-equator edge centroid, and great-circle segment sums
+    cancelling to the sphere center."""
+    import math as m
+    import random
+
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel.measures import (
+        edge_true_centroid, planar_centroid_triangle,
+        true_centroid_triangle)
+
+    def nrm(v):
+        return v / np.linalg.norm(v)
+
+    def ang(p, q):
+        return m.atan2(float(np.linalg.norm(np.cross(p, q))),
+                       float(p @ q))
+
+    rng = random.Random(101)
+
+    def frame():
+        p = nrm(np.array([rng.gauss(0, 1) for _ in range(3)]))
+        x = nrm(np.cross(p, np.array([rng.gauss(0, 1)
+                                      for _ in range(3)])))
+        y = nrm(np.cross(p, x))
+        return p, x, y
+
+    # small triangles: centroid at the intersection of the medians
+    for _ in range(100):
+        p, x, y = frame()
+        d = 1e-4 * (1e-4 ** rng.random())
+        p0 = nrm(p - d * x)
+        p1 = nrm(p + d * x)
+        p2 = nrm(p + 3 * d * y)
+        centroid = nrm(true_centroid_triangle(p0, p1, p2))
+        expected = nrm(p + d * y)
+        assert ang(centroid, expected) <= 2e-8
+        assert ang(centroid,
+                   nrm(planar_centroid_triangle(p0, p1, p2))) <= 2e-8
+
+    # semi-equator polyline: centroid*length points at B with norm 2
+    a = np.array([0.0, -1.0, 0.0])
+    b = np.array([1.0, 0.0, 0.0])
+    c = np.array([0.0, 1.0, 0.0])
+    cent = edge_true_centroid(a, b) + edge_true_centroid(b, c)
+    assert ang(nrm(cent), b) < 1e-14
+    assert abs(float(np.linalg.norm(cent)) - 2.0) < 1e-15
+
+    # random great circles split into arbitrary segments sum to ~0
+    for _ in range(100):
+        _, x, y = frame()
+        centroid = np.zeros(3)
+        v0 = x
+        theta = 0.0
+        while theta < 2 * m.pi:
+            v1 = m.cos(theta) * x + m.sin(theta) * y
+            centroid = centroid + edge_true_centroid(v0, v1)
+            v0 = v1
+            theta += rng.random() ** 10.0
+        centroid = centroid + edge_true_centroid(v0, x)
+        assert float(np.linalg.norm(centroid)) <= 2e-14
