@@ -428,3 +428,24 @@ def test_sibling_map_validates_balance():
     assert _sibling_map([(0, 1), (1, 0)]) == [1, 0]
     with pytest.raises(ValueError, match="sibling-paired"):
         _sibling_map([(0, 1)])
+
+
+def test_get_directed_loops_degenerate_edges():
+    """GraphUnitTest.getDirectedLoopsDegenerateEdges (:64-87): with
+    DISCARD_EXCESS/KEEP/KEEP, a degenerate loop, a square and an
+    out-and-back sibling pair partition into simple loops of sizes
+    1, 4 and 2."""
+    from s2_geometry_kotlin_spark.kernel.builder_graph import (
+        DegenerateEdges, DuplicateEdges, EdgeType, GraphOptions,
+        SiblingPairs, get_directed_loops, process_edges)
+    # vertex ids: 0 = 1:1; 1..4 = square corners; 5 = 0:3, 6 = 3:3
+    edges = [(0, 0),
+             (1, 2), (2, 3), (3, 4), (4, 1),
+             (5, 6), (6, 5)]
+    opts = GraphOptions(EdgeType.DIRECTED, DegenerateEdges.DISCARD_EXCESS,
+                        DuplicateEdges.KEEP, SiblingPairs.KEEP)
+    kept, _ids, err = process_edges(opts, edges)
+    assert err is None
+    loops = get_directed_loops(kept)
+    sizes = sorted(len(lp) for lp in loops)
+    assert sizes == [1, 2, 4]
