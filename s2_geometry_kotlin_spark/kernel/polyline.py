@@ -49,9 +49,16 @@ class Polyline:
     # -- measures -----------------------------------------------------------
 
     def edge_angles(self) -> np.ndarray:
+        # atan2(|a x b|, a.b) — the S1Angle form; arccos of the dot
+        # cannot resolve below ~1e-8 rad and would overestimate every
+        # degenerate/short edge (same defect the ported interpolate
+        # fixture caught in kernel/edges.py)
         a = self.vertices[:-1]
         b = self.vertices[1:]
-        return np.arccos(np.clip(np.einsum("ij,ij->i", a, b), -1.0, 1.0))
+        cr = np.cross(a, b)
+        s = np.sqrt(np.einsum("ij,ij->i", cr, cr))
+        c = np.einsum("ij,ij->i", a, b)
+        return np.arctan2(s, c)
 
     def arclength_angle(self) -> float:
         """getLength (S2Polyline.kt:168-176)."""
