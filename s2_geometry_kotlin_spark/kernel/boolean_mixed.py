@@ -76,6 +76,9 @@ class LaxGeometry:
     lines: list = field(default_factory=list)       # [(n,3) arrays]
     loops: list = field(default_factory=list)       # [(k,3) arrays]
     full: bool = False
+    # number of full-polygon shapes (measures need multiplicity;
+    # the boolean calculus only needs the boolean `full`)
+    full_count: int = 0
 
     def is_empty(self) -> bool:
         return not (self.points or self.lines or self.loops or self.full)
@@ -1062,3 +1065,71 @@ def boolean_polygon_emptiness(a_geom: LaxGeometry, b_geom: LaxGeometry,
     if err is None and not new_edges:
         return probe_side()
     return "other"
+
+
+# ---------------------------------------------------------------------------
+# shape-index measures (S2ShapeIndexMeasures: dimension / numPoints /
+# length / perimeter / area over a mixed collection)
+# ---------------------------------------------------------------------------
+
+def geometry_dimension(g: LaxGeometry) -> int:
+    """Largest dimension present, -1 when empty (a 1-vertex polyline
+    shape still counts as dimension 1)."""
+    if g.loops or g.full:
+        return 2
+    if g.lines:
+        return 1
+    if g.points:
+        return 0
+    return -1
+
+
+def geometry_num_points(g: LaxGeometry) -> int:
+    return len(g.points)
+
+
+def _arc(a, b) -> float:
+    return math.atan2(float(np.linalg.norm(np.cross(a, b))),
+                      float(a @ b))
+
+
+def geometry_length(g: LaxGeometry) -> float:
+    """Sum of polyline lengths, radians."""
+    total = 0.0
+    for ln in g.lines:
+        for i in range(len(ln) - 1):
+            total += _arc(ln[i], ln[i + 1])
+    return total
+
+
+def geometry_perimeter(g: LaxGeometry) -> float:
+    """Sum of polygon-loop perimeters, radians (degenerate loops
+    included — their out-and-back edges all count)."""
+    total = 0.0
+    for lo in g.loops:
+        n = len(lo)
+        if n < 2:
+            continue
+        for i in range(n):
+            total += _arc(lo[i], lo[(i + 1) % n])
+    return total
+
+
+def geometry_area(g: LaxGeometry) -> float:
+    """Sum of polygon areas; each full polygon contributes 4*pi."""
+    from .measures import loop_area
+    total = 4.0 * math.pi * max(g.full_count, 1 if g.full else 0)
+    for lo in g.loops:
+        if len(lo) >= 3:
+            total += loop_area(np.asarray(lo))
+    return total
+
+
+def geometry_approx_area(g: LaxGeometry) -> float:
+    """Gauss-Bonnet approximation (2*pi - curvature per loop)."""
+    from .measures import loop_curvature
+    total = 4.0 * math.pi * max(g.full_count, 1 if g.full else 0)
+    for lo in g.loops:
+        if len(lo) >= 3:
+            total += 2.0 * math.pi - loop_curvature(np.asarray(lo))
+    return total

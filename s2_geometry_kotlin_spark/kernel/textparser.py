@@ -105,6 +105,7 @@ def make_index(text: str):
             continue
         if shape == "full":
             geom.full = True
+            geom.full_count += 1
             continue
         for lptxt in shape.split(";"):
             lptxt = lptxt.strip()

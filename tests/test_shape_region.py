@@ -100,3 +100,42 @@ def test_buffered_polyline_distance_covering():
 
     assert covered(cov, ll(1.0, 5.0))     # 1 deg off the midline
     assert not covered(cov, ll(8.0, 5.0))  # 8 deg away
+
+
+def test_shape_index_measures_fixtures():
+    """S2ShapeIndexMeasuresUnitTest port
+    (index/shape/S2ShapeIndexMeasuresUnitTest.kt:37-120): dimension,
+    numPoints, length, perimeter and area over mixed collections."""
+    import math
+
+    from s2_geometry_kotlin_spark.kernel.boolean_mixed import (
+        geometry_approx_area, geometry_area, geometry_dimension,
+        geometry_length, geometry_num_points, geometry_perimeter)
+
+    def g(text):
+        return make_index(text)
+
+    assert geometry_dimension(g("# #")) == -1
+    assert geometry_dimension(g("0:0 # #")) == 0
+    assert geometry_dimension(g("0:0 # 1:1, 1:2 #")) == 1
+    assert geometry_dimension(g("0:0 # 1:1 #")) == 1
+    assert geometry_dimension(g("0:0 # 1:1, 2:2 # 3:3, 3:4, 4:3")) == 2
+
+    assert geometry_num_points(g("# #")) == 0
+    assert geometry_num_points(g("0:0 | 1:0 # #")) == 2
+    assert geometry_num_points(g("# 1:1, 1:2 # 0:3, 0:5, 2:5")) == 0
+
+    assert geometry_length(g("# #")) == 0.0
+    got = geometry_length(g("4:4 # 0:0, 1:0 | 1:0, 2:0 # 5:5, 5:6, 6:5"))
+    assert abs(math.degrees(got) - 2.0) < 1e-16
+
+    assert geometry_perimeter(g("# #")) == 0.0
+    got = geometry_perimeter(
+        g("4:4 # 0:0, 1:0 | 2:0, 3:0 # 0:1, 0:2, 0:3"))
+    assert abs(math.degrees(got) - 4.0) < 1e-13
+
+    assert geometry_area(g("# #")) == 0.0
+    assert abs(geometry_area(g("# # full | full")) -
+               8 * math.pi) < 1e-15
+    assert abs(geometry_approx_area(g("# # full | full")) -
+               8 * math.pi) < 1e-15
