@@ -27,7 +27,9 @@ from .regions import Cell, LatLngRect, LngInterval
 class Polyline:
     def __init__(self, vertices: np.ndarray):
         v = np.asarray(vertices, dtype=np.float64)
-        assert v.ndim == 2 and v.shape[1] == 3 and len(v) >= 2
+        # >= 1: the reference treats one-vertex polylines as valid for
+        # subsampling/interpolation (S2PolylineUnitTest fixtures)
+        assert v.ndim == 2 and v.shape[1] == 3 and len(v) >= 1
         self.vertices = v
         self._bound: LatLngRect | None = None
 
@@ -74,7 +76,7 @@ class Polyline:
     def interpolate(self, t: float) -> np.ndarray:
         """Point at fraction t of total length (S2Polyline.kt:192-214);
         t <= 0 -> first vertex, t >= 1 -> last vertex."""
-        if t <= 0:
+        if t <= 0 or len(self.vertices) == 1:
             return self.vertices[0].copy()
         target = t * self.arclength_angle()
         cum = self.cumulative_angles()
@@ -88,6 +90,8 @@ class Polyline:
     def project(self, p: np.ndarray) -> tuple[np.ndarray, int]:
         """Closest point on the line + index of the vertex that FOLLOWS
         it (S2Polyline.kt:286-320)."""
+        if len(self.vertices) == 1:
+            return self.vertices[0].copy(), 1
         a = self.vertices[:-1]
         b = self.vertices[1:]
         pts = np.broadcast_to(np.asarray(p, dtype=np.float64),
@@ -95,15 +99,22 @@ class Polyline:
         d2 = ek.point_edge_chord2_pairwise(pts, a, b)
         i = int(np.argmin(d2))
         q = ek.project_to_edge(pts[i:i + 1], a[i:i + 1], b[i:i + 1])[0]
-        # next vertex: i+1, or i+2 if q coincides with vertex i+1
+        # next vertex: i+1, or i+2 when q coincides with vertex i+1
+        # (may equal numVertices, like the reference's nextVertex)
         nxt = i + 1
         if float(np.abs(q - self.vertices[i + 1]).max()) == 0.0:
-            nxt = min(i + 2, len(self.vertices) - 1)
+            nxt = i + 2
         return q, nxt
 
     def intersects(self, other: "Polyline") -> bool:
-        """Any edge pair crosses (S2Polyline.kt:360-384) — strict
-        crossings via the triage determinant kernel."""
+        """Any edge pair with crossingSign >= 0 (S2Polyline.kt:360-384)
+        — INCLUDING shared vertices and vertices on edge interiors,
+        like the reference (S2PolylineUnitTest intersectsAtVertex /
+        intersectsVertexOnEdge).  The strict-crossing triage kernel
+        answers the common case; remaining pairs take the exact scalar
+        ladder (layer-sized polylines by design)."""
+        if len(self.vertices) < 2 or len(other.vertices) < 2:
+            return False
         a = self.vertices[:-1]
         b = self.vertices[1:]
         c = other.vertices[:-1]
@@ -111,32 +122,83 @@ class Polyline:
         na, nc = len(a), len(c)
         ai = np.repeat(np.arange(na), nc)
         ci = np.tile(np.arange(nc), na)
-        return bool(ek.edges_cross(a[ai], b[ai], c[ci], d[ci]).any())
+        if bool(ek.edges_cross(a[ai], b[ai], c[ci], d[ci]).any()):
+            return True
+        from . import predicates as pred
+        for i in range(na):
+            for j in range(nc):
+                if pred.crossing_sign(a[i], b[i], c[j], d[j]) >= 0:
+                    return True
+        return False
 
     def subsample_vertices(self, tolerance_rad: float) -> list[int]:
-        """Greedy forward subsampling (S2Polyline.kt:421-460): keep the
-        longest run of vertices whose skipped points stay within
-        tolerance of the shortcut edge."""
+        """S2Polyline.subsampleVertices (S2Polyline.kt:421-441 +
+        findEndVertex :745-823): greedy forward runs decided by the
+        PIE-WEDGE algebra — a run may be collapsed only while a ray
+        from the run's start can pass through the tolerance discs of
+        every skipped vertex, vertices appear in non-decreasing
+        distance along the ray (parametric equivalence), and no created
+        segment exceeds 90 degrees.  Duplicate adjacent output vertices
+        are never generated (a fully-backtracking polyline collapses to
+        its first vertex)."""
         n = len(self.vertices)
         if n == 0:
             return []
         out = [0]
-        tol_d2 = 4.0 * math.sin(0.5 * tolerance_rad) ** 2
-        i = 0
-        while i + 1 < n:
-            j = i + 1
-            # extend j while all intermediate vertices stay in tolerance
-            while j + 1 < n:
-                mid = self.vertices[i + 1:j + 1]
-                a = np.broadcast_to(self.vertices[i], mid.shape).copy()
-                bb = np.broadcast_to(self.vertices[j + 1], mid.shape).copy()
-                d2 = ek.point_edge_chord2_pairwise(mid, a, bb)
-                if float(d2.max()) > tol_d2:
-                    break
-                j += 1
-            out.append(j)
-            i = j
+        tol = max(float(tolerance_rad), 0.0)
+        index = 0
+        while index + 1 < n:
+            nxt = self._find_end_vertex(tol, index)
+            if not np.array_equal(self.vertices[nxt],
+                                  self.vertices[index]):
+                out.append(nxt)
+            index = nxt
         return out
+
+    def _find_end_vertex(self, tol: float, index: int) -> int:
+        from . import predicates as pred
+        n = len(self.vertices)
+        origin = self.vertices[index]
+        from .regions import LngInterval
+        x_axis = pred.ortho(origin)
+        x_axis = x_axis / np.linalg.norm(x_axis)
+        y_axis = np.cross(origin, x_axis)
+        wedge = LngInterval.full()
+
+        def norm_angle(t: float) -> float:
+            t = math.remainder(t, 2 * math.pi)
+            return math.pi if t == -math.pi else t
+
+        last_distance = 0.0
+        target = index + 1
+        while target < n:
+            cand = self.vertices[target]
+            distance = math.atan2(
+                float(np.linalg.norm(np.cross(origin, cand))),
+                float(origin @ cand))
+            # never create segments longer than 90 degrees (original
+            # longer edges pass through untouched)
+            if distance > math.pi / 2 and last_distance > 0:
+                break
+            # non-decreasing distance along the ray, except inside the
+            # initial tolerance disc
+            if distance < last_distance and last_distance > tol:
+                break
+            last_distance = distance
+            if distance <= tol:
+                target += 1
+                continue
+            center = math.atan2(float(cand @ y_axis),
+                                float(cand @ x_axis))
+            if not wedge.contains(center):
+                break
+            half = math.asin(min(1.0, math.sin(tol)
+                             / math.sin(distance)))
+            target_iv = LngInterval(norm_angle(center - half),
+                                    norm_angle(center + half))
+            wedge = wedge.intersection(target_iv)
+            target += 1
+        return target - 1
 
     def simplify(self, tolerance_rad: float) -> "Polyline":
         """B4 tolerance-true simplification via S2PolylineSimplifier's

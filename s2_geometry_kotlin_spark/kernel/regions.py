@@ -186,6 +186,27 @@ class LngInterval:
             return (p >= self.lo or p <= self.hi) and not self.is_empty()
         return self.lo <= p <= self.hi
 
+    def intersection(self, o: "LngInterval") -> "LngInterval":
+        """S1Interval.intersection (S1Interval.kt): the wedge algebra
+        used by subsampleVertices.  When the intersection has two
+        components, the shorter operand is returned (the reference's
+        documented tie-break)."""
+        if o.is_empty():
+            return LngInterval.empty()
+        if self.is_full():
+            return LngInterval(o.lo, o.hi)
+        if self.contains(o.lo):
+            if self.contains(o.hi):
+                if o.length() < self.length():
+                    return LngInterval(o.lo, o.hi)
+                return LngInterval(self.lo, self.hi)
+            return LngInterval(o.lo, self.hi)
+        if self.contains(o.hi):
+            return LngInterval(self.lo, o.hi)
+        if o.contains(self.lo):
+            return LngInterval(self.lo, self.hi)
+        return LngInterval.empty()
+
     def contains_interval(self, o: "LngInterval") -> bool:
         if o.is_empty():
             return True
