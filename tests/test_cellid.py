@@ -291,3 +291,68 @@ def test_cell_area_invariants():
         avg = cell_average_area(lvl)
         assert 0.4 < avg / exact < 2.5
         cid = kids[rng.randrange(4)]
+
+
+def test_hilbert_continuity_walk():
+    """S2CellIdUnitTest.continuity (:376-398): sequentially increasing
+    cell ids form a continuous path — adjacent ids' centers within
+    kMaxEdge of the walk level, advance_wrap consistency, and centers
+    exactly on the (s,t) half-cell grid."""
+    import math
+
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel import metrics
+
+    level = 4
+    max_dist = metrics.MAX_EDGE.get_value(level)
+    cell_size = 1.0 / (1 << level)
+    cid = int(ck.begin(level))
+    end = int(ck.end(level))
+    ids = []
+    while cid != end:
+        ids.append(cid)
+        cid = int(ck.next_id(np.array([cid], dtype=np.uint64))[0])
+    arr = np.array(ids, dtype=np.uint64)
+    x, y, z = ck.to_xyz(arr)
+    pts = np.stack([x, y, z], axis=1)
+    nxt = np.roll(pts, -1, axis=0)
+    ang = np.arctan2(np.linalg.norm(np.cross(pts, nxt), axis=1),
+                     np.einsum("ij,ij->i", pts, nxt))
+    assert float(ang.max()) <= max_dist
+    # advance_wrap(1) == next_wrap; next_wrap.advance_wrap(-1) == id
+    nw = ck.advance_wrap(arr, 1)
+    assert np.array_equal(nw, np.roll(arr, -1))
+    assert np.array_equal(ck.advance_wrap(nw, -1), arr)
+    # centers lie exactly on the half-cell (s,t) grid
+    for cid in ids[:64]:
+        face = cid >> 61
+        px, py, pz = ck.sc_center_xyz(cid)
+        # project to (u, v) on the cell's own face
+        denom = (px, py, pz, -px, -py, -pz)[face]
+        u_num = {0: py, 1: -px, 2: -px, 3: pz, 4: pz, 5: -py}[face]
+        v_num = {0: pz, 1: pz, 2: -py, 3: py, 4: -px, 5: -px}[face]
+        for val in (u_num / denom, v_num / denom):
+            st = ck.uv_to_st(np.array([val]))[0]
+            assert abs(math.remainder(st, 0.5 * cell_size)) < 1e-15
+
+
+def test_leaf_coverage_accuracy():
+    """S2CellIdUnitTest.coverage (:401-414): every random point is
+    within half the level-30 max diagonal of its leaf cell center."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel import metrics
+
+    max_dist = 0.5 * metrics.MAX_DIAG.get_value(ck.MAX_LEVEL)
+    rng = np.random.default_rng(121)
+    p = rng.normal(size=(20000, 3))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    ids = ck.from_xyz(p[:, 0], p[:, 1], p[:, 2])
+    qx, qy, qz = ck.to_xyz(np.asarray(ids, dtype=np.uint64))
+    q = np.stack([qx, qy, qz], axis=1)
+    ang = np.arctan2(np.linalg.norm(np.cross(p, q), axis=1),
+                     np.einsum("ij,ij->i", p, q))
+    assert float(ang.max()) <= max_dist
