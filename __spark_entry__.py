@@ -62,23 +62,20 @@ def q_cell_leaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cell_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E10: ancestor cells at levels 4/8/12/16 by pure bit math."""
+    """E10 + E15: ancestor cells at levels 4/8/12/16 by pure bit math,
+    plus the order-preserving hex token of the level-12 ancestor
+    (board-consolidated round 6: the former cell_token row folded in so
+    the registry fits the driver's 50-row cap — both operators stay
+    value-checked)."""
     df = _geo_pages(spark, sf_dir)
+    l12 = s2f.cell_parent(F.col("cell_id"), 12)
     return df.select(
         "url",
         s2f.cell_parent(F.col("cell_id"), 4).alias("cell_l4"),
         s2f.cell_parent(F.col("cell_id"), 8).alias("cell_l8"),
-        s2f.cell_parent(F.col("cell_id"), 12).alias("cell_l12"),
+        l12.alias("cell_l12"),
         s2f.cell_parent(F.col("cell_id"), 16).alias("cell_l16"),
-    )
-
-
-def q_cell_token(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E15: order-preserving hex token of the level-12 ancestor."""
-    df = _geo_pages(spark, sf_dir)
-    return df.select(
-        "url",
-        s2f.s2_token(s2f.cell_parent(F.col("cell_id"), 12)).alias("token_l12"),
+        s2f.s2_token(l12).alias("token_l12"),
     )
 
 
@@ -645,37 +642,40 @@ def q_mixed_boolean_counts(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Mixed-dimension S2BooleanOperation surface (points + polylines +
     polygons, kernel/boolean_mixed.py) over the fixture pair table.
-    Non-SQL-expressible constructive geometry -> registered without an
-    oracle (rows-only); values pinned by the 52-case reference parity
-    suite (tests/test_boolean_parity.py)."""
+    The construction is non-SQL-expressible, but its outputs over the
+    fixed pair table are deterministic constants — the oracle (round 6)
+    is the PINNED_RESULTS VALUES table, so the driver value-hash-checks
+    this row; drift is caught by tests/test_mixed_boolean_operator.py and the
+    52-case reference parity suite (tests/test_boolean_parity.py)."""
     from s2_geometry_kotlin_spark.operators.mixed_boolean import \
         q_mixed_boolean_counts as q
     return q(spark, sf_dir)
 
 
-def q_cell_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The batch twin of the stateful streaming session tracker (the
-    SAME cell_session_state operator the stream==batch tests compare
-    against): deterministic geotag from user_id, leaf cell via the
-    Arrow kernel, per-l8-cell event/user/first/last aggregate.  The
-    oracle re-derives the geotag and the full Hilbert encode in SQL."""
-    from s2_geometry_kotlin_spark.streaming import cell_session_state
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return cell_session_state(events)
-
-
-def q_cell_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (F.session_window, the declarative sessionization
-    operator): per-cell activity sessions with a 2-hour idle gap — the
-    batch twin of streaming.cell_session_windows, same plan."""
+def q_cell_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Board-consolidated sessionization row (round 6: the former
+    cell_sessions_batch and cell_sessions_gap rows merged so the
+    registry fits the driver's 50-row cap).  Both operators stay fully
+    value-checked: every 2-hour-gap session row (F.session_window, the
+    declarative sessionizer — batch twin of streaming.cell_session_windows)
+    carries its cell's lifetime aggregate from cell_session_state (the
+    batch twin of the stateful tracker the stream==batch tests compare
+    against).  The join is a per-l8-cell equi-join; the state side is
+    one row per cell, broadcastable at any scale."""
     from s2_geometry_kotlin_spark import streaming as st
+    from s2_geometry_kotlin_spark.streaming import cell_session_state
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return st.cell_session_windows(ev)
+    sessions = st.cell_session_windows(ev)
+    state = (cell_session_state(ev)
+             .withColumnRenamed("n_events", "cell_events")
+             .withColumnRenamed("n_users", "cell_users"))
+    return sessions.join(F.broadcast(state), "cell_l8")
 
 
-def _cell_sessions_gap_oracle_sql() -> str:
-    """Independent sessionization: lag/cumsum break detection in SQL
-    (a different algorithm than Spark's window-merge), same definition:
+def _cell_sessions_oracle_sql() -> str:
+    """Independent sessionization (lag/cumsum break detection — a
+    different algorithm than Spark's window-merge) joined with the
+    per-cell lifetime aggregate, mirroring the merged q_cell_sessions:
     a break when an event arrives >= 2 hours after the previous one in
     its cell; session_end = last event + gap."""
     from s2_geometry_kotlin_spark.functions import sqlgen
@@ -693,28 +693,20 @@ def _cell_sessions_gap_oracle_sql() -> str:
             "ts >= lag(ts) OVER (PARTITION BY cell_l8 ORDER BY ts) "
             "+ INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk FROM ev),\n"
             "s AS (SELECT *, SUM(brk) OVER (PARTITION BY cell_l8 "
-            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)\n"
-            "SELECT MIN(ts) AS session_start, "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m),\n"
+            "sess AS (SELECT MIN(ts) AS session_start, "
             "MAX(ts) + INTERVAL 2 HOUR AS session_end, cell_l8, "
             "COUNT(*) AS n_events, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
-            "FROM s GROUP BY cell_l8, sid")
-
-
-def _cell_sessions_oracle_sql() -> str:
-    from s2_geometry_kotlin_spark.functions import sqlgen
-    src = ("SELECT event_id, ts, user_id, "
-           "((user_id * 7919 + 12345) % 160000001 - 80000000) / 1e6 "
-           "AS lat, "
-           "((user_id * 104729 + 54321) % 360000001 - 180000000) / 1e6 "
-           "AS lon FROM events")
-    return (sqlgen.cellid_from_latlng_query(src, "event_id, ts, user_id")
-            + "\nSELECT "
-            + sqlgen.parent_sql("cell_id", 8) + " AS cell_l8, "
-            "COUNT(*) AS n_events, "
-            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "FROM s GROUP BY cell_l8, sid),\n"
+            "cellagg AS (SELECT cell_l8, COUNT(*) AS cell_events, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cell_users, "
             "MIN(ts) AS first_seen, MAX(ts) AS last_seen "
-            "FROM henc GROUP BY 1")
+            "FROM ev GROUP BY 1)\n"
+            "SELECT sess.session_start, sess.session_end, sess.cell_l8, "
+            "sess.n_events, sess.n_users, cellagg.cell_events, "
+            "cellagg.cell_users, cellagg.first_seen, cellagg.last_seen "
+            "FROM sess JOIN cellagg USING (cell_l8)")
 
 
 def q_polygon_loop_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,8 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_in_snapped_layer": q_pages_in_snapped_layer,
         "pages_in_selfsplit_layer": q_pages_in_selfsplit_layer,
         "mixed_boolean_counts": q_mixed_boolean_counts,
-        "cell_sessions_batch": q_cell_sessions_batch,
-        "cell_sessions_gap": q_cell_sessions_gap,
+        "cell_sessions": q_cell_sessions,
         "token_stats": ts.q_token_stats,
         "bpe_token_stats": ts.q_bpe_token_stats,
         "quality": ts.q_quality,
@@ -759,12 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": __import__(
             "s2_geometry_kotlin_spark.operators.components",
             fromlist=["q_dedup_components"]).q_dedup_components,
-        "media_frames": __import__(
+        "media_pipeline": __import__(
             "s2_geometry_kotlin_spark.operators.multimodal",
-            fromlist=["q_media_frames"]).q_media_frames,
-        "media_features": __import__(
-            "s2_geometry_kotlin_spark.operators.multimodal",
-            fromlist=["q_media_features"]).q_media_features,
+            fromlist=["q_media_pipeline"]).q_media_pipeline,
         "simhash_neardup_pairs": dedup.q_simhash_neardup_pairs,
         "embed_neardup_pairs": similarity.q_embed_neardup_pairs,
         "embed_topk_brute": similarity.q_embed_topk_brute,
@@ -785,7 +773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse": q_geoparse,
         "cell_leaf": q_cell_leaf,
         "cell_parents": q_cell_parents,
-        "cell_token": q_cell_token,
         "tile_roundtrip": q_tile_roundtrip,
         "lang_cell_profile": q_lang_cell_profile,
     }
@@ -798,6 +785,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # transitively pinned by every other oracle); tile_index +
     # tile_to_cell merged into tile_roundtrip, hot_cells folded into
     # lang_cell_profile (n_hot_l12).
+    # Round 6 (the r5 driver checked exactly the FIRST 50 entries and
+    # silently dropped positions 51-52): three more merges bring the
+    # registry to 49 — margin under the cap — with every constituent
+    # operator still value-checked: cell_token folded into cell_parents
+    # (token_l12 column), media_frames + media_features joined into
+    # media_pipeline, cell_sessions_batch + cell_sessions_gap joined
+    # into cell_sessions.  tests/test_driver_contract.py pins the cap
+    # and the zero-no-oracle invariant.
 
 
 # ---------------------------------------------------------------------------
@@ -884,8 +879,10 @@ def oracle_sql() -> dict[str, str]:
             route_project_sql(_routes_simplified(), ROUTE_RADIUS_RAD)),
         "pages_in_snapped_layer": _snapped_oracle_sql(),
         "pages_in_selfsplit_layer": _selfsplit_oracle_sql(),
-        "cell_sessions_batch": _cell_sessions_oracle_sql(),
-        "cell_sessions_gap": _cell_sessions_gap_oracle_sql(),
+        "mixed_boolean_counts": __import__(
+            "s2_geometry_kotlin_spark.operators.mixed_boolean",
+            fromlist=["mixed_boolean_oracle_sql"]).mixed_boolean_oracle_sql(),
+        "cell_sessions": _cell_sessions_oracle_sql(),
         "token_stats": ts.token_stats_sql(),
         "bpe_token_stats": ts.bpe_token_stats_sql(),
         "quality": ts.quality_sql(),
@@ -897,12 +894,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": __import__(
             "s2_geometry_kotlin_spark.operators.components",
             fromlist=["dedup_components_sql"]).dedup_components_sql(),
-        "media_frames": __import__(
+        "media_pipeline": __import__(
             "s2_geometry_kotlin_spark.operators.multimodal",
-            fromlist=["media_frames_sql"]).media_frames_sql(),
-        "media_features": __import__(
-            "s2_geometry_kotlin_spark.operators.multimodal",
-            fromlist=["media_features_sql"]).media_features_sql(),
+            fromlist=["media_pipeline_sql"]).media_pipeline_sql(),
         "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
         "embed_neardup_pairs": similarity.embed_neardup_sql(),
         "embed_topk_brute": similarity.embed_topk_brute_sql(),
@@ -931,8 +925,7 @@ def oracle_sql() -> dict[str, str]:
             f"{sqlgen.parent_sql('cell_id', 4)} AS cell_l4, "
             f"{sqlgen.parent_sql('cell_id', 8)} AS cell_l8, "
             f"{sqlgen.parent_sql('cell_id', 12)} AS cell_l12, "
-            f"{sqlgen.parent_sql('cell_id', 16)} AS cell_l16 FROM henc",
-        "cell_token": henc + "\nSELECT url, "
+            f"{sqlgen.parent_sql('cell_id', 16)} AS cell_l16, "
             f"{sqlgen.token_sql(sqlgen.parent_sql('cell_id', 12))} "
             "AS token_l12 FROM henc",
         "tile_roundtrip": _tile_roundtrip_oracle_sql(),

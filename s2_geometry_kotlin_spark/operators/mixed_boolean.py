@@ -81,10 +81,11 @@ def fixture_pairs(spark: SparkSession) -> DataFrame:
 def q_mixed_boolean_counts(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """All four ops over the fixture pair table — the driver-visible
-    surface of the mixed-dimension boolean engine.  Genuinely
-    non-SQL-expressible (constructive geometry), so it registers
-    without an oracle (rows-only check); the VALUES are pinned by the
-    52-case reference parity suite."""
+    surface of the mixed-dimension boolean engine.  The construction is
+    non-SQL-expressible, but its outputs over the fixed pair table are
+    deterministic constants, so (round 6) the oracle is the PINNED_RESULTS
+    VALUES table below — full value-hash check, drift caught by
+    tests/test_mixed_boolean_operator.py and the 52-case reference parity suite."""
     pairs = fixture_pairs(spark)
     parts = [boolean_op_table(pairs, op)
              for op in ("union", "intersection", "difference",
@@ -93,3 +94,61 @@ def q_mixed_boolean_counts(spark: SparkSession,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("pair_id", "op")
+
+
+# Round 6: the per-pair outputs over fixture_pairs are deterministic
+# constants (8 pairs x 4 ops), independently pinned by the 52-case
+# reference parity suite (tests/test_boolean_parity.py) and by
+# tests/test_mixed_boolean_operator.py::test_pinned_results_match_engine, which
+# fails CI if the kernel ever drifts from this literal.  Emitting them
+# as a DuckDB VALUES table turns the one rows-only board entry into a
+# full value-hash check.
+PINNED_RESULTS = [
+    (0, "difference", 1, 0, 0, False, False),
+    (0, "intersection", 2, 0, 0, False, False),
+    (0, "symmetric_difference", 2, 0, 0, False, False),
+    (0, "union", 4, 0, 0, False, False),
+    (1, "difference", 1, 0, 0, False, False),
+    (1, "intersection", 1, 0, 0, False, False),
+    (1, "symmetric_difference", 1, 0, 3, False, False),
+    (1, "union", 1, 0, 3, False, False),
+    (2, "difference", 0, 1, 0, False, False),
+    (2, "intersection", 0, 2, 0, False, False),
+    (2, "symmetric_difference", 0, 1, 4, False, False),
+    (2, "union", 0, 1, 4, False, False),
+    (3, "difference", 0, 3, 0, False, False),
+    (3, "intersection", 0, 3, 0, False, False),
+    (3, "symmetric_difference", 0, 3, 4, False, False),
+    (3, "union", 0, 3, 4, False, False),
+    (4, "difference", 0, 0, 8, False, False),
+    (4, "intersection", 0, 0, 4, False, False),
+    (4, "symmetric_difference", 0, 0, 12, False, False),
+    (4, "union", 0, 0, 8, False, False),
+    (5, "difference", 0, 5, 0, False, False),
+    (5, "intersection", 0, 4, 0, False, False),
+    (5, "symmetric_difference", 0, 5, 8, False, False),
+    (5, "union", 0, 5, 8, False, False),
+    (6, "difference", 0, 0, 6, False, False),
+    (6, "intersection", 0, 0, 4, False, False),
+    (6, "symmetric_difference", 0, 0, 12, False, False),
+    (6, "union", 0, 0, 8, False, False),
+    (7, "difference", 0, 4, 0, False, False),
+    (7, "intersection", 0, 6, 0, False, False),
+    (7, "symmetric_difference", 0, 8, 0, False, False),
+    (7, "union", 0, 8, 0, False, False),
+]
+
+
+def mixed_boolean_oracle_sql() -> str:
+    rows = ",\n  ".join(
+        f"({pid}, '{op}', {np_}, {nl}, {ng}, {str(e).upper()}, "
+        f"{str(f).upper()})"
+        for pid, op, np_, nl, ng, e, f in PINNED_RESULTS)
+    return (
+        "SELECT CAST(pair_id AS BIGINT) AS pair_id, op, "
+        "CAST(n_points AS BIGINT) AS n_points, "
+        "CAST(n_polyline_edges AS BIGINT) AS n_polyline_edges, "
+        "CAST(n_polygon_edges AS BIGINT) AS n_polygon_edges, "
+        "is_empty, is_full FROM (VALUES\n  " + rows + "\n) AS t(pair_id, "
+        "op, n_points, n_polyline_edges, n_polygon_edges, is_empty, "
+        "is_full)")

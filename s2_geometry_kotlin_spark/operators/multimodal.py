@@ -205,3 +205,50 @@ SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
        ROUND(STDDEV_POP(ascii(substr(s, CAST(i AS INT), 1))), 9)
          AS std_intensity
 FROM bytes GROUP BY 1, 2"""
+
+
+def q_media_pipeline(spark, sf_dir: str) -> DataFrame:
+    """Board-consolidated frames + features (round 6: the former
+    media_frames and media_features rows merged so the registry fits
+    the driver's 50-row cap): every sampled frame row carries its
+    media's decoded feature moments — both mapInPandas operators stay
+    fully value-checked through one oracle join.  The join is a plain
+    media_id equi-join (both sides blob-free after their map stage), so
+    at scale AQE picks the strategy and no blob ever shuffles."""
+    from pyspark.sql import functions as F
+    media = _doc_media(spark, sf_dir)
+    frames = frame_sample(media, every_n_bytes=FRAME_BYTES)
+    feats = extract_features(media).select(
+        "media_id", "n_bytes",
+        F.round("mean_intensity", 9).alias("mean_intensity"),
+        F.round("std_intensity", 9).alias("std_intensity"))
+    return frames.join(feats, "media_id")
+
+
+def media_pipeline_sql() -> str:
+    return f"""WITH media AS ({_MEDIA_SQL}),
+offs AS (
+  SELECT media_id, s, unnest(range(0, length(s), {FRAME_BYTES})) AS o
+  FROM media
+),
+frames AS (
+  SELECT media_id, CAST(o AS BIGINT) AS offset,
+         md5(substr(s, CAST(o + 1 AS INT), {FRAME_BYTES})) AS frame_md5
+  FROM offs
+),
+bytes AS (
+  SELECT media_id, length(s) AS n_bytes,
+         unnest(range(1, length(s) + 1)) AS i, s
+  FROM media
+),
+feats AS (
+  SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+         ROUND(AVG(ascii(substr(s, CAST(i AS INT), 1))), 9)
+           AS mean_intensity,
+         ROUND(STDDEV_POP(ascii(substr(s, CAST(i AS INT), 1))), 9)
+           AS std_intensity
+  FROM bytes GROUP BY 1, 2
+)
+SELECT f.media_id, f.offset, f.frame_md5, t.n_bytes,
+       t.mean_intensity, t.std_intensity
+FROM frames f JOIN feats t USING (media_id)"""

@@ -84,3 +84,24 @@ def test_entry_smoke(spark):
     rows = df.count()
     assert rows >= 0
     assert df.columns
+
+
+# Round 6 regression guards for the r5 driver-board truncation: the
+# driver checks at most the FIRST 50 registered queries (r5 registered
+# 52 and positions 51-52 silently got no CORRECTNESS row), and any
+# query without an oracle_sql entry only gets a weak rows-only check.
+DRIVER_BOARD_CAP = 50
+
+
+def test_registry_fits_driver_cap():
+    assert len(entrymod.queries()) <= DRIVER_BOARD_CAP, (
+        "queries() exceeds the driver's 50-row correctness board; "
+        "consolidate rows (see the registry comment) or the tail gets "
+        "no CORRECTNESS row")
+
+
+def test_every_query_has_value_oracle():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert q == o, (f"registry/oracle mismatch: missing oracles "
+                    f"{sorted(q - o)}, orphan oracles {sorted(o - q)}")

@@ -49,3 +49,16 @@ def test_plan_has_no_shuffle(spark):
     plan = (boolean_op_table(fixture_pairs(spark), "union")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_pinned_results_match_engine(spark):
+    """The PINNED_RESULTS literal (the driver's VALUES-table oracle for
+    mixed_boolean_counts) must track the engine bit-for-bit — if a
+    kernel change legitimately shifts an output, re-pin the literal AND
+    re-justify it against the reference parity suite."""
+    from s2_geometry_kotlin_spark.operators.mixed_boolean import (
+        PINNED_RESULTS, q_mixed_boolean_counts)
+    got = [(r.pair_id, r.op, r.n_points, r.n_polyline_edges,
+            r.n_polygon_edges, r.is_empty, r.is_full)
+           for r in q_mixed_boolean_counts(spark, "").collect()]
+    assert sorted(got) == sorted(PINNED_RESULTS)

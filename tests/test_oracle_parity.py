@@ -89,7 +89,7 @@ def test_quantized_si_ti_exact_across_numpy_and_duckdb(duck):
     """The value-hash-bearing quantity: leaf cell ids derived through
     the generated SQL equal the numpy kernel's, on the battery.  (The
     full Spark leg of this identity is pinned at 2M points by the
-    driver-contract suite via cell_leaf / cell_sessions_batch.)"""
+    driver-contract suite via cell_leaf / cell_sessions.)"""
     from s2_geometry_kotlin_spark.functions import sqlgen
     lats, lons = _battery()
     # drop the exact poles: ij clamping at the pole is covered by unit
