@@ -76,12 +76,14 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     # full) so a wall-time drift between rounds is attributable: same
     # plan + same stage ratios but slower absolute times = VM noise
     # (documented sandbox throttle); a changed ratio = plan drift.
+    # stage rows best-of-3 (r5: the single anomalous delta was a
+    # best-of-2 stage row; three samples pierce the VM throttle)
     timed("geocode_stage_scan", lambda: force(
-        pages.select("url", "text")))
+        pages.select("url", "text")), n_reps=3)
     timed("geocode_stage_geoparse", lambda: force(
         P.geoparse(pages).where(F.col("lat").isNotNull())
-        .select("url", "lat", "lon")))
-    timed("geocode", lambda: force(make_geo()))
+        .select("url", "lat", "lon")), n_reps=3)
+    timed("geocode", lambda: force(make_geo()), n_reps=3)
     geo = make_geo().cache()
     geo.count()
     # q2: levels 0-30 parent rollup at l8 (bit math + agg)

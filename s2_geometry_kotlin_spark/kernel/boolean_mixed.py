@@ -480,9 +480,17 @@ class MixedResult:
         return sorted(_ekey(u, v) for (u, v) in self.edges[dim])
 
 
-def _emit_geometry(res: MixedResult, op_nd: "_Operand"):
-    """Emit an operand verbatim (used when the other side is full or
-    empty in ways that shortcut the calculus)."""
+def _emit_geometry(res: MixedResult, op_nd: "_Operand",
+                   complement: bool = False):
+    """Emit an operand verbatim, or — with ``complement=True`` (the
+    full-X / full^X shortcuts, whose result is the complement of X) —
+    with every non-degenerate loop edge REVERSED, so the dim-2 directed
+    multiset matches the reference's IndexMatchingLayer form for the
+    complement (whose boundary is the same point set traversed the
+    other way; ADVICE r5).  Degenerate single-vertex loops keep their
+    (p, p) edge: shell-vs-hole flips with the surrounding full flag,
+    not the edge key.  Points and polyline slits are orientation-free
+    features of the complement and pass through unchanged."""
     for p in op_nd.points:
         res.edges[0].append((p, p))
     for ln in op_nd.lines:
@@ -494,7 +502,8 @@ def _emit_geometry(res: MixedResult, op_nd: "_Operand"):
             res.edges[2].append((lo[0], lo[0]))
         else:
             for a in range(n):
-                res.edges[2].append((lo[a], lo[(a + 1) % n]))
+                u, v = lo[a], lo[(a + 1) % n]
+                res.edges[2].append((v, u) if complement else (u, v))
     res.full = res.full or op_nd.full
 
 
@@ -847,10 +856,10 @@ def boolean_op_mixed(a_geom: LaxGeometry, b_geom: LaxGeometry, op: str,
             if B.full:
                 return res    # anything - full = empty
             # full - X: the complement of X — full with X's features as
-            # holes/slits.  Emptiness-faithful (non-empty whenever X is
-            # not full); edge dimensions follow the input features.
+            # holes/slits (loop edges reversed: the complement's
+            # boundary runs the other way).
             res.full = True
-            _emit_geometry(res, B)
+            _emit_geometry(res, B, complement=True)
             res.full = True
             return res
         # symmetric difference
@@ -860,9 +869,9 @@ def boolean_op_mixed(a_geom: LaxGeometry, b_geom: LaxGeometry, op: str,
         if other.geom.is_empty():
             res.full = True
             return res
-        # full xor X = complement of X; emptiness-faithful as above
+        # full xor X = complement of X (loop edges reversed, as above)
         res.full = True
-        _emit_geometry(res, other)
+        _emit_geometry(res, other, complement=True)
         res.full = True
         return res
 

@@ -681,15 +681,14 @@ def edge_lat_lng_bound(a: np.ndarray,
                     float(np.cross(cand, b) @ nrm) >= 0:
                 lat_lo = min(lat_lo, lat_cand)
                 lat_hi = max(lat_hi, lat_cand)
-    elif n2 > 0.0:
-        # the edge lies on a meridian pair through a pole: it passes
-        # through the pole when the arc contains it
-        for pole, plat in ((np.array([0.0, 0.0, 1.0]), math.pi / 2),
-                           (np.array([0.0, 0.0, -1.0]), -math.pi / 2)):
-            if float(np.cross(a, pole) @ nrm) >= 0 and \
-                    float(np.cross(pole, b) @ nrm) >= 0:
-                lat_lo = min(lat_lo, plat)
-                lat_hi = max(lat_hi, plat)
+    # nxy == 0 with n2 > 0 means the great circle IS the equator
+    # (normal = +-z): the edge's latitude extremes are its vertices,
+    # already covered.  (A former elif here tried to handle "meridian
+    # through a pole", but such edges have nrm[2] == 0 with nxy > 0 and
+    # are handled by the main branch; the elif actually matched
+    # equatorial edges, whose degenerate containment test 0 >= 0 always
+    # passed and stretched every equator edge's bound to both poles —
+    # ADVICE r5.)
     return lat_lo, lat_hi, li
 
 

@@ -19,6 +19,7 @@ against cannot occur."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from s2_geometry_kotlin_spark.kernel.boolean_mixed import (
@@ -771,3 +772,33 @@ def test_mixed_partition_identities(seed):
     assert abs(total_len(inter) + total_len(diff) - input_len) < 1e-9
     un = boolean_op_mixed(a, b, U, o)
     assert abs(total_len(un) - total_len(diff)) < 1e-9
+
+
+def test_full_minus_x_emits_reversed_boundary():
+    """ADVICE r5: full - X (and full ^ X) is the complement of X, whose
+    boundary is X's loops traversed the OTHER way — the dim-2 directed
+    multiset must be the reversed-edge multiset, not X's own."""
+    from s2_geometry_kotlin_spark.kernel.boolean_mixed import (
+        MixedOptions, boolean_op_mixed)
+    full = make_index("# # full")
+    x = make_index("# # 0:0, 0:5, 5:5, 5:0")
+    rev = make_index("# # 0:0, 5:0, 5:5, 0:5")
+    for op in ("difference", "symmetric_difference"):
+        res = boolean_op_mixed(full, x, op, MixedOptions())
+        assert res.full and not res.is_empty()
+        want = sorted((tuple(np.round(v, 9).tolist()),
+                       tuple(np.round(u, 9).tolist()))
+                      for (u, v) in
+                      [(x.loops[0][i], x.loops[0][(i + 1) % 4])
+                       for i in range(4)])
+        got = sorted((tuple(np.round(u, 9).tolist()),
+                      tuple(np.round(v, 9).tolist()))
+                     for (u, v) in res.edges[2])
+        assert got == want
+        # and the reversed ring IS the complement boundary ring
+        want2 = sorted((tuple(np.round(u, 9).tolist()),
+                        tuple(np.round(v, 9).tolist()))
+                       for (u, v) in
+                       [(rev.loops[0][i], rev.loops[0][(i + 1) % 4])
+                        for i in range(4)])
+        assert got == want2

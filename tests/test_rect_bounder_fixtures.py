@@ -100,3 +100,37 @@ def test_edge_bound_contains_sampled_points(seed):
             assert lo - 1e-14 <= la <= hi + 1e-14
             # expand slightly for the comparison only
             assert li.expanded(1e-14).contains(lng)
+
+
+def test_equatorial_edge_does_not_reach_poles():
+    """ADVICE r5 regression: an exactly-equatorial edge (great circle
+    normal = +-z) has its latitude extremes at its vertices — the old
+    'meridian through a pole' branch matched these edges (nxy == 0) and
+    its degenerate arc test (0 >= 0) stretched every equator edge's
+    bound to both poles.  Reference: S2LatLngRectBounder gives ~[0,0]
+    for an equator loop."""
+    a = n(1.0, 0.0, 0.0)
+    b = n(0.0, 1.0, 0.0)
+    lo, hi, _ = edge_lat_lng_bound(a, b)
+    assert abs(lo) < 1e-15 and abs(hi) < 1e-15
+    # reversed orientation too
+    lo, hi, _ = edge_lat_lng_bound(b, a)
+    assert abs(lo) < 1e-15 and abs(hi) < 1e-15
+    # a CCW equator loop (interior = northern hemisphere, contains the
+    # N pole) bounds lat [0, pi/2]: pi/2 comes from loop-level pole
+    # containment, NOT from the edge bounder — the bug gave
+    # [-pi/2, pi/2] (edge bounder volunteering both poles)
+    from s2_geometry_kotlin_spark.kernel.regions import Loop
+    eq = Loop(np.array([n(1, 0, 0), n(0, 1, 0), n(-1, 0, 0),
+                        n(0, -1, 0)]))
+    rb = eq.rect_bound()
+    assert abs(rb.lat_lo) < 1e-9 and abs(rb.lat_hi - math.pi / 2) < 1e-12
+
+
+def test_meridian_edge_through_pole_still_bounds_pole():
+    """The genuine pole-crossing case (nrm[2] == 0, nxy > 0) must keep
+    reaching the pole through the main branch."""
+    a = n(1.0, 0.0, 1.0)     # lat 45, lng 0
+    b = n(-1.0, 0.0, 1.0)    # lat 45, lng 180 — shorter arc over N pole
+    _, hi, _ = edge_lat_lng_bound(a, b)
+    assert abs(hi - math.pi / 2) < 1e-12
