@@ -39,6 +39,7 @@ import numpy as np
 from . import cellid as ck
 from . import metrics
 from . import predicates as pred
+from .distance import chord2_points
 from .edges import point_edge_chord2_pairwise
 from .regions import Loop, Polygon
 
@@ -189,7 +190,8 @@ def choose_sites(vertices: np.ndarray, snap: SnapFunction) -> np.ndarray:
     for s in snapped:
         if sites:
             arr = np.asarray(sites)
-            d2 = np.maximum(0.0, 2.0 - 2.0 * (arr @ s))
+            diff = arr - s
+            d2 = np.einsum("ij,ij->i", diff, diff)
             if float(d2.min()) < sep2 or (arr == s).all(axis=1).any():
                 continue
         sites.append(s)
@@ -197,7 +199,8 @@ def choose_sites(vertices: np.ndarray, snap: SnapFunction) -> np.ndarray:
 
 
 def _nearest_site(p: np.ndarray, sites: np.ndarray) -> int:
-    d2 = np.maximum(0.0, 2.0 - 2.0 * (sites @ p))
+    diff = sites - p
+    d2 = np.einsum("ij,ij->i", diff, diff)
     return int(d2.argmin())
 
 
@@ -308,7 +311,7 @@ def snap_edge(x: np.ndarray, y: np.ndarray, sites: np.ndarray,
     near = set(np.flatnonzero(d2 <= r2).tolist()) | {first, last}
     # visit order: increasing distance from X
     cand = sorted(near,
-                  key=lambda i: float(2.0 - 2.0 * (sites[i] @ x)))
+                  key=lambda i: float(((sites[i] - x) ** 2).sum()))
     cos_r = math.cos(min(r_edge, math.pi))
     theta = math.acos(max(-1.0, min(1.0, float(x @ y))))
     sin_theta, cos_theta = math.sin(theta), math.cos(theta)
@@ -319,7 +322,7 @@ def snap_edge(x: np.ndarray, y: np.ndarray, sites: np.ndarray,
         add_c = True
         while chain:
             b = sites[chain[-1]]
-            bc2 = max(0.0, 2.0 - 2.0 * float(b @ c))
+            bc2 = float(((b - c) ** 2).sum())
             if bc2 >= max_adj2:
                 break  # clipped Voronoi regions cannot interact
             res = _voronoi_exclusion(b, c, x, y, cos_r, theta,
@@ -333,7 +336,7 @@ def snap_edge(x: np.ndarray, y: np.ndarray, sites: np.ndarray,
             if len(chain) < 2:
                 break
             a = sites[chain[-2]]
-            ac2 = max(0.0, 2.0 - 2.0 * float(a @ c))
+            ac2 = float(((a - c) ** 2).sum())
             if ac2 >= max_adj2:
                 break
             # if the circumcenter of ABC lies on the opposite side of
@@ -656,7 +659,7 @@ def input_meets_guarantees(vertices: np.ndarray, edge_list: list,
     # distinct vertex pairs
     sep2 = _chord2(snap.min_vertex_separation())
     if sep2 > 0:
-        d2 = np.maximum(0.0, 2.0 - 2.0 * (vertices @ vertices.T))
+        d2 = chord2_points(vertices, vertices)
         np.fill_diagonal(d2, np.inf)
         close = d2 < sep2
         if close.any():

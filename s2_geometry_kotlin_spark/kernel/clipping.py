@@ -17,6 +17,7 @@ EPS = 2.220446049250313e-16
 FACE_CLIP_ERROR_RADIANS = 3 * EPS
 FACE_CLIP_ERROR_UV_COORD = 9 * math.sqrt(0.5) * EPS
 EDGE_CLIP_ERROR_UV_COORD = 2.25 * EPS
+INTERSECTS_RECT_ERROR_UV_DIST = 3 * math.sqrt(2.0) * EPS
 
 # kFaceUVWFaces (S2Coords.kt:195-203): neighbor face along (axis, dir)
 _UVW_FACES = (
@@ -278,6 +279,28 @@ def clip_edge_bound(a, b, clip_u, clip_v, bound_u, bound_v) -> bool:
                              diag, clip_u) and
             _clip_bound_axis(a[1], b[1], bound_v, a[0], b[0], bound_u,
                              diag, clip_v))
+
+
+def intersects_rect(a, b, u_lo: float, u_hi: float,
+                    v_lo: float, v_hi: float) -> bool:
+    """S2EdgeClipping.intersectsRect (:287-305): does 2D segment AB
+    intersect the closed uv rectangle?  Exact up to double rounding;
+    callers expand the rect by INTERSECTS_RECT_ERROR_UV_DIST for a
+    conservative answer."""
+    a0, a1 = float(a[0]), float(a[1])
+    b0, b1 = float(b[0]), float(b[1])
+    if max(a0, b0) < u_lo or min(a0, b0) > u_hi or \
+            max(a1, b1) < v_lo or min(a1, b1) > v_hi:
+        return False
+    # all four rect vertices must not lie on the same side of line AB
+    n0, n1 = -(b1 - a1), (b0 - a0)           # normal to AB
+    u_far = u_hi if n0 >= 0 else u_lo
+    v_far = v_hi if n1 >= 0 else v_lo
+    u_near = u_lo if n0 >= 0 else u_hi
+    v_near = v_lo if n1 >= 0 else v_hi
+    hi = n0 * (u_far - a0) + n1 * (v_far - a1)
+    lo = n0 * (u_near - a0) + n1 * (v_near - a1)
+    return hi >= 0 and lo <= 0
 
 
 def clip_edge(a, b, clip_u, clip_v):

@@ -22,8 +22,16 @@ def chord2_between(ax, ay, az, bx, by, bz):
 
 def chord2_points(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(n,3) x (m,3) -> (n,m) squared chord distances."""
-    # |a-b|^2 = 2 - 2 a.b for unit vectors; computed via dot for speed
+    # |a-b|^2 = 2 - 2 a.b for unit vectors; computed via dot for speed.
+    # The subtraction quantizes below ~1e-15, so near-zero pairs are
+    # recomputed with the exact difference form (S1ChordAngle.between
+    # uses (x-y).norm2() for exactly this reason).
     d = 2.0 - 2.0 * (a @ b.T)
+    small = d < 1e-12
+    if small.any():
+        ii, jj = np.nonzero(small)
+        diff = a[ii] - b[jj]
+        d[ii, jj] = np.einsum("ij,ij->i", diff, diff)
     return np.minimum(4.0, np.maximum(0.0, d))
 
 
@@ -77,7 +85,9 @@ def point_edge_chord2(points: np.ndarray, a: np.ndarray,
     with np.errstate(divide="ignore", invalid="ignore"):
         sin2 = np.where(nrm2[None, :] > 0.0, (xn * xn) / nrm2[None, :], 0.0)
     sin2 = np.clip(sin2, 0.0, 1.0)
-    interior_d2 = 2.0 * (1.0 - np.sqrt(1.0 - sin2))
+    # stable form of 2*(1 - sqrt(1 - sin2)): the naive difference
+    # underflows to 0 for distances below ~sqrt(eps) radians
+    interior_d2 = 2.0 * sin2 / (1.0 + np.sqrt(1.0 - sin2))
 
     # endpoint distances
     da = chord2_points(points, a)              # (m,n)

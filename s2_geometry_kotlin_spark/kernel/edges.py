@@ -41,11 +41,13 @@ def point_edge_chord2_pairwise(p: np.ndarray, a: np.ndarray,
     with np.errstate(divide="ignore", invalid="ignore"):
         sin2 = np.where(nrm2 > 0.0, (xn * xn) / nrm2, 0.0)
     sin2 = np.clip(sin2, 0.0, 1.0)
-    interior_d2 = 2.0 * (1.0 - np.sqrt(1.0 - sin2))
-    da = np.minimum(4.0, np.maximum(
-        0.0, 2.0 - 2.0 * np.einsum("ij,ij->i", p, a)))
-    db = np.minimum(4.0, np.maximum(
-        0.0, 2.0 - 2.0 * np.einsum("ij,ij->i", p, b)))
+    # stable form of 2*(1 - sqrt(1 - sin2)): the naive difference
+    # underflows to 0 for distances below ~sqrt(eps) radians
+    interior_d2 = 2.0 * sin2 / (1.0 + np.sqrt(1.0 - sin2))
+    pa = p - a
+    pb = p - b
+    da = np.minimum(4.0, np.einsum("ij,ij->i", pa, pa))
+    db = np.minimum(4.0, np.einsum("ij,ij->i", pb, pb))
     end_d2 = np.minimum(da, db)
     return np.where(inside, np.minimum(interior_d2, end_d2), end_d2)
 
@@ -68,11 +70,11 @@ def project_to_edge(p: np.ndarray, a: np.ndarray,
     fn = np.sqrt(np.einsum("ij,ij->i", foot, foot))
     ok = fn > 0
     foot[ok] = foot[ok] / fn[ok, None]
-    # endpoint selection (paired)
-    da = np.minimum(4.0, np.maximum(
-        0.0, 2.0 - 2.0 * np.einsum("ij,ij->i", p, a)))
-    db = np.minimum(4.0, np.maximum(
-        0.0, 2.0 - 2.0 * np.einsum("ij,ij->i", p, b)))
+    # endpoint selection (paired; stable difference form)
+    pa = p - a
+    pb = p - b
+    da = np.minimum(4.0, np.einsum("ij,ij->i", pa, pa))
+    db = np.minimum(4.0, np.einsum("ij,ij->i", pb, pb))
     nearer = np.where((da <= db)[:, None], a, b)
     return np.where((inside & ok)[:, None], foot, nearer)
 

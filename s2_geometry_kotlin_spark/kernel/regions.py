@@ -392,6 +392,38 @@ class Cap:
         return Cap(self.center,
                    float(dist.radians_to_chord2(r + distance_rad)))
 
+    def radius_angle(self) -> float:
+        """Opening angle in radians (S2Cap.kt radius); -1 when empty."""
+        if self.is_empty():
+            return -1.0
+        return float(dist.chord2_to_radians(min(4.0, max(0.0,
+                                                         self.radius2))))
+
+    def add_cap(self, other: "Cap") -> "Cap":
+        """S2Cap.addCap (S2Cap.kt:243-253): grow the radius about this
+        cap's FIXED center until `other` is covered (union() may move
+        the center; addCap never does).  The distance is rounded up so
+        containment actually holds."""
+        if self.is_empty():
+            return other
+        if other.is_empty():
+            return self
+        d = self.center - other.center
+        need = float(dist.chord2_to_radians(min(4.0, float(d @ d)))) + \
+            other.radius_angle()
+        need2 = float(dist.radians_to_chord2(min(math.pi, need)))
+        need2 = min(4.0, need2 * (1.0 + 4 * DBL_EPS) + 4 * DBL_EPS ** 2)
+        return Cap(self.center, max(self.radius2, need2))
+
+    def contains_cap(self, other: "Cap") -> bool:
+        """S2Cap.contains(S2Cap) (S2Cap.kt:200-206): every point of
+        `other` is inside this cap."""
+        if self.is_full() or other.is_empty():
+            return True
+        d = self.center - other.center
+        sep = float(dist.chord2_to_radians(min(4.0, float(d @ d))))
+        return self.radius_angle() >= sep + other.radius_angle()
+
     def union(self, other: "Cap") -> "Cap":
         """S2Cap.union (S2Cap.kt:274-295): smallest cap enclosing both."""
         if self.radius2 < other.radius2:
