@@ -271,6 +271,17 @@ def ann_recall(spark, sf_dir: str) -> dict:
         ann = fn(spark, sf_dir).select("query_id", "vec_id")
         hits = ann.join(brute, ["query_id", "vec_id"]).count()
         out[name] = round(hits / max(1, n), 4)
+    # VERDICT r5 item 7: sampled-recall-driven nprobe selection — the
+    # chosen probe count, its estimated recall, and the recall actually
+    # measured at that setting
+    auto_np, curve = sim.ivf_auto_nprobe(spark, sf_dir,
+                                         recall_target=0.8)
+    out["ivf_auto_nprobe"] = auto_np
+    out["ivf_auto_est_recall"] = curve[auto_np]
+    ann = (sim.ivf_topk(spark, sf_dir, nprobe=auto_np)
+           .select("query_id", "vec_id"))
+    out["ivf_auto"] = round(
+        ann.join(brute, ["query_id", "vec_id"]).count() / max(1, n), 4)
     brute.unpersist()
     return out
 

@@ -146,8 +146,17 @@ class LngInterval:
     lo > hi means the interval wraps across +-pi.  Full is [-pi, pi]."""
 
     def __init__(self, lo: float, hi: float):
-        self.lo = lo
-        self.hi = hi
+        # S1Interval checkFix: -Pi endpoints normalize to Pi except for
+        # the canonical empty (Pi, -Pi) and full (-Pi, Pi) intervals.
+        # Both tests read the ORIGINAL endpoints (S1Interval.kt:62-76),
+        # so the singleton (-Pi, -Pi) maps to (Pi, Pi), not to empty.
+        new_lo, new_hi = lo, hi
+        if lo == -math.pi and hi != math.pi:
+            new_lo = math.pi
+        if hi == -math.pi and lo != math.pi:
+            new_hi = math.pi
+        self.lo = new_lo
+        self.hi = new_hi
 
     @staticmethod
     def empty() -> "LngInterval":
@@ -185,27 +194,6 @@ class LngInterval:
         if self.is_inverted():
             return (p >= self.lo or p <= self.hi) and not self.is_empty()
         return self.lo <= p <= self.hi
-
-    def intersection(self, o: "LngInterval") -> "LngInterval":
-        """S1Interval.intersection (S1Interval.kt): the wedge algebra
-        used by subsampleVertices.  When the intersection has two
-        components, the shorter operand is returned (the reference's
-        documented tie-break)."""
-        if o.is_empty():
-            return LngInterval.empty()
-        if self.is_full():
-            return LngInterval(o.lo, o.hi)
-        if self.contains(o.lo):
-            if self.contains(o.hi):
-                if o.length() < self.length():
-                    return LngInterval(o.lo, o.hi)
-                return LngInterval(self.lo, self.hi)
-            return LngInterval(o.lo, self.hi)
-        if self.contains(o.hi):
-            return LngInterval(self.lo, o.hi)
-        if o.contains(self.lo):
-            return LngInterval(self.lo, self.hi)
-        return LngInterval.empty()
 
     def contains_interval(self, o: "LngInterval") -> bool:
         if o.is_empty():
@@ -280,14 +268,6 @@ class LngInterval:
             return LngInterval(p, self.hi)
         return LngInterval(self.lo, p)
 
-    def union(self, o: "LngInterval") -> "LngInterval":
-        if o.is_empty():
-            return self
-        if self.is_empty():
-            return o
-        out = self.add_point(o.lo)
-        return out.add_point(o.hi)
-
     def expanded(self, margin: float) -> "LngInterval":
         """S1Interval.expanded (S1Interval.kt:398-413) incl. negative
         margins (shrink, used by the polyline simplifier's avoidDisc)."""
@@ -330,6 +310,92 @@ class LngInterval:
             return self
         return LngInterval.empty()
 
+    def interior_contains(self, p: float) -> bool:
+        """S1Interval.interiorContains(Double) (S1Interval.kt:237-249)."""
+        if p == -math.pi:
+            p = math.pi
+        if self.is_inverted():
+            return p > self.lo or p < self.hi
+        return (self.lo < p < self.hi) or self.is_full()
+
+    def interior_contains_interval(self, y: "LngInterval") -> bool:
+        """S1Interval.interiorContains(S1Interval) (S1Interval.kt:284-294)."""
+        if self.is_inverted():
+            if not y.is_inverted():
+                return y.lo > self.lo or y.hi < self.hi
+            return (y.lo > self.lo and y.hi < self.hi) or y.is_empty()
+        if y.is_inverted():
+            return self.is_full() or y.is_empty()
+        return (y.lo > self.lo and y.hi < self.hi) or self.is_full()
+
+    def interior_intersects(self, y: "LngInterval") -> bool:
+        """S1Interval.interiorIntersects (S1Interval.kt:324-335)."""
+        if self.is_empty() or y.is_empty() or self.lo == self.hi:
+            return False
+        if self.is_inverted():
+            return y.is_inverted() or y.lo < self.hi or y.hi > self.lo
+        if y.is_inverted():
+            return y.lo < self.hi or y.hi > self.lo
+        return (y.lo < self.hi and y.hi > self.lo) or self.is_full()
+
+    def complement(self) -> "LngInterval":
+        """S1Interval.complement (S1Interval.kt:198-201): swap endpoints;
+        a singleton's complement is full."""
+        if self.lo == self.hi:
+            return LngInterval.full()
+        return LngInterval(self.hi, self.lo)
+
+    def complement_center(self) -> float:
+        """S1Interval.complementCenter (S1Interval.kt:207-212)."""
+        if self.lo != self.hi:
+            return self.complement().center()
+        return self.hi + math.pi if self.hi <= 0.0 else self.hi - math.pi
+
+    def center(self) -> float:
+        center = 0.5 * (self.lo + self.hi)
+        if not self.is_inverted():
+            return center
+        # Return the center in the range (-Pi, Pi].
+        return center + math.pi if center <= 0.0 else center - math.pi
+
+    def approx_equals(self, y: "LngInterval", max_error: float = 1e-15) -> bool:
+        """S1Interval.approxEquals (S1Interval.kt:524-534)."""
+        if self.is_empty():
+            return y.length() <= 2 * max_error
+        if y.is_empty():
+            return self.length() <= 2 * max_error
+        if self.is_full():
+            return y.length() >= 2 * (math.pi - max_error)
+        if y.is_full():
+            return self.length() >= 2 * (math.pi - max_error)
+        return (abs(math.remainder(y.lo - self.lo, 2 * math.pi)) <= max_error
+                and abs(math.remainder(y.hi - self.hi, 2 * math.pi)) <= max_error
+                and abs(self.length() - y.length()) <= 2 * max_error)
+
+    def directed_hausdorff(self, y: "LngInterval") -> float:
+        """S1Interval.getDirectedHausdorffDistance (S1Interval.kt:553-570):
+        max over p in self of the S1 distance from p to y."""
+        if y.contains_interval(self):
+            return 0.0  # includes the case where self is empty
+        if y.is_empty():
+            return math.pi
+        y_cc = y.complement_center()
+        if self.contains(y_cc):
+            return _positive_distance(y.hi, y_cc)
+        hi_hi = (_positive_distance(y.hi, self.hi)
+                 if LngInterval(y.hi, y_cc).contains(self.hi) else 0.0)
+        lo_lo = (_positive_distance(self.lo, y.lo)
+                 if LngInterval(y_cc, y.lo).contains(self.lo) else 0.0)
+        return max(hi_hi, lo_lo)
+
+
+def _positive_distance(a: float, b: float) -> float:
+    """Distance from a to b going CCW, in [0, 2*Pi) (S1Interval.kt:628-644)."""
+    d = b - a
+    if d >= 0:
+        return d
+    return (b + math.pi) - (a - math.pi)
+
 
 def _pos_angle(a: float) -> float:
     a = math.fmod(a, 2 * math.pi)
@@ -343,6 +409,36 @@ def _wrap_angle(a: float) -> float:
     if a < -math.pi:
         a += 2 * math.pi
     return a
+
+
+def _lat_of(p: np.ndarray) -> float:
+    return math.atan2(float(p[2]), math.hypot(float(p[0]), float(p[1])))
+
+
+def _lng_of(p: np.ndarray) -> float:
+    return math.atan2(float(p[1]), float(p[0]))
+
+
+def _latlng_to_xyz(lat: float, lng: float) -> np.ndarray:
+    cl = math.cos(lat)
+    return np.array([cl * math.cos(lng), cl * math.sin(lng), math.sin(lat)])
+
+
+def _robust_cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """S2PointUtil.robustCrossProd semantics: (b+a)x(b-a) == 2 a x b but
+    stays accurate as a -> +-b; falls back to an arbitrary orthogonal."""
+    x = np.cross(b + a, b - a)
+    if float(x @ x) > 0.0:
+        return x
+    return pred.ortho(a)
+
+
+def _point_edge_dist_rad(p: np.ndarray, a: np.ndarray,
+                         b: np.ndarray) -> float:
+    """Minimum angle (radians) from point p to geodesic edge ab."""
+    d2 = dist.point_edge_chord2(p.reshape(1, 3), a.reshape(1, 3),
+                                b.reshape(1, 3))[0, 0]
+    return float(dist.chord2_to_radians(d2))
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +459,25 @@ class Cap:
         x, y, z = ck.latlng_deg_to_xyz(np.array([lat]), np.array([lon]))
         r2 = float(dist.radians_to_chord2(math.radians(radius_deg)))
         return Cap(np.array([x[0], y[0], z[0]]), r2)
+
+    @staticmethod
+    def from_center_height(center: np.ndarray, height: float) -> "Cap":
+        """S2Cap.fromCenterHeight: chord^2 = 2 * height."""
+        return Cap(np.asarray(center, dtype=np.float64), 2.0 * height)
+
+    def approx_equals(self, other: "Cap", max_error: float = 1e-14) -> bool:
+        """S2Cap.approxEquals semantics: axes within max_error and radius
+        angles within max_error, with empty/full degeneracies."""
+        r1, r2o = max(self.radius2, 0.0), max(other.radius2, 0.0)
+        if self.is_empty():
+            return other.radius2 <= max_error
+        if other.is_empty():
+            return self.radius2 <= max_error
+        axis_angle = _angle_between(self.center / np.linalg.norm(self.center),
+                                    other.center / np.linalg.norm(other.center))
+        return (axis_angle <= max_error and
+                abs(float(dist.chord2_to_radians(min(4.0, r1))) -
+                    float(dist.chord2_to_radians(min(4.0, r2o)))) <= max_error)
 
     def is_empty(self) -> bool:
         return self.radius2 < 0
@@ -544,7 +659,8 @@ class LatLngRect:
 
     @staticmethod
     def empty() -> "LatLngRect":
-        r = LatLngRect(1.0, -1.0, 0.0, 0.0)
+        # canonical empty: lat = R1Interval.empty() = (1, 0) (R1Interval.kt)
+        r = LatLngRect(1.0, 0.0, 0.0, 0.0)
         r.lng = LngInterval.empty()
         return r
 
@@ -554,8 +670,85 @@ class LatLngRect:
         r.lng = LngInterval.full()
         return r
 
+    @staticmethod
+    def from_point(lat: float, lng: float) -> "LatLngRect":
+        """S2LatLngRect.fromPoint (radians)."""
+        r = LatLngRect(lat, lat, 0.0, 0.0)
+        r.lng = LngInterval.from_point(lng)
+        return r
+
+    @staticmethod
+    def from_point_pair(lat1: float, lng1: float,
+                        lat2: float, lng2: float) -> "LatLngRect":
+        """S2LatLngRect.fromPointPair (S2LatLngRect.kt:836-843): minimal
+        rect containing both (normalized) lat/lng points."""
+        r = LatLngRect(min(lat1, lat2), max(lat1, lat2), 0.0, 0.0)
+        r.lng = LngInterval.from_point_pair(lng1, lng2)
+        return r
+
+    @staticmethod
+    def from_center_size(center_lat: float, center_lng: float,
+                         size_lat: float, size_lng: float) -> "LatLngRect":
+        """S2LatLngRect.fromCenterSize (S2LatLngRect.kt:810-811)."""
+        return LatLngRect.from_point(center_lat, center_lng).expanded(
+            0.5 * size_lat, 0.5 * size_lng)
+
+    def is_valid(self) -> bool:
+        """S2LatLngRect.isValid (S2LatLngRect.kt:126-127)."""
+        return (abs(self.lat_lo) <= math.pi / 2 and
+                abs(self.lat_hi) <= math.pi / 2 and
+                (self.lat_lo > self.lat_hi) == self.lng.is_empty())
+
     def is_empty(self) -> bool:
         return self.lat_lo > self.lat_hi or self.lng.is_empty()
+
+    def is_full(self) -> bool:
+        return (self.lat_lo == -math.pi / 2 and
+                self.lat_hi == math.pi / 2 and self.lng.is_full())
+
+    def is_point(self) -> bool:
+        return self.lat_lo == self.lat_hi and self.lng.lo == self.lng.hi
+
+    def center(self) -> tuple[float, float]:
+        """(lat, lng) center in lat-lng space."""
+        return 0.5 * (self.lat_lo + self.lat_hi), self.lng.center()
+
+    def size(self) -> tuple[float, float]:
+        """(lat, lng) dimensions; negative when empty."""
+        return self.lat_hi - self.lat_lo, self.lng.length()
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, LatLngRect):
+            return NotImplemented
+        lat_eq = ((self.lat_lo == other.lat_lo and
+                   self.lat_hi == other.lat_hi) or
+                  (self.lat_lo > self.lat_hi and
+                   other.lat_lo > other.lat_hi))
+        lng_eq = ((self.lng.lo == other.lng.lo and
+                   self.lng.hi == other.lng.hi) or
+                  (self.lng.is_empty() and other.lng.is_empty()))
+        return lat_eq and lng_eq
+
+    def __hash__(self):
+        return hash((self.lat_lo, self.lat_hi, self.lng.lo, self.lng.hi))
+
+    def approx_equals(self, o: "LatLngRect",
+                      max_error_lat: float = 1e-15,
+                      max_error_lng: float | None = None) -> bool:
+        """S2LatLngRect.approxEquals (S2LatLngRect.kt:682-688); per-axis
+        tolerances (R1Interval/S1Interval approxEquals semantics)."""
+        if max_error_lng is None:
+            max_error_lng = max_error_lat
+        lat_len = self.lat_hi - self.lat_lo
+        o_lat_len = o.lat_hi - o.lat_lo
+        if self.lat_lo > self.lat_hi:
+            lat_ok = o_lat_len <= 2 * max_error_lat
+        elif o.lat_lo > o.lat_hi:
+            lat_ok = lat_len <= 2 * max_error_lat
+        else:
+            lat_ok = (abs(o.lat_lo - self.lat_lo) <= max_error_lat and
+                      abs(o.lat_hi - self.lat_hi) <= max_error_lat)
+        return lat_ok and self.lng.approx_equals(o.lng, max_error_lng)
 
     def contains_latlng(self, lat: float, lng: float) -> bool:
         return (self.lat_lo <= lat <= self.lat_hi and
@@ -579,6 +772,25 @@ class LatLngRect:
         return (self.lat_lo <= o.lat_hi and o.lat_lo <= self.lat_hi and
                 self.lng.intersects(o.lng))
 
+    def interior_contains_latlng(self, lat: float, lng: float) -> bool:
+        """S2LatLngRect.interiorContains(S2LatLng) (S2LatLngRect.kt:272-275)."""
+        return (self.lat_lo < lat < self.lat_hi and
+                self.lng.interior_contains(lng))
+
+    def interior_contains_rect(self, o: "LatLngRect") -> bool:
+        """S2LatLngRect.interiorContains(S2LatLngRect)
+        (S2LatLngRect.kt:288-290); R1Interval.interiorContains treats the
+        empty operand as contained."""
+        lat_ok = (o.lat_lo > o.lat_hi or
+                  (o.lat_lo > self.lat_lo and o.lat_hi < self.lat_hi))
+        return lat_ok and self.lng.interior_contains_interval(o.lng)
+
+    def interior_intersects(self, o: "LatLngRect") -> bool:
+        """S2LatLngRect.interiorIntersects (S2LatLngRect.kt:302-304)."""
+        lat_ok = (o.lat_lo < self.lat_hi and self.lat_lo < o.lat_hi and
+                  self.lat_lo < self.lat_hi and o.lat_lo <= o.lat_hi)
+        return lat_ok and self.lng.interior_intersects(o.lng)
+
     def union(self, o: "LatLngRect") -> "LatLngRect":
         if self.is_empty():
             return o
@@ -586,8 +798,56 @@ class LatLngRect:
             return self
         r = LatLngRect(min(self.lat_lo, o.lat_lo),
                        max(self.lat_hi, o.lat_hi), 0, 0)
-        r.lng = self.lng.union(o.lng)
+        r.lng = self.lng.union_interval(o.lng)
         return r
+
+    def intersection(self, o: "LatLngRect") -> "LatLngRect":
+        """S2LatLngRect.intersection (S2LatLngRect.kt:390-397): per-axis
+        interval intersection; canonical empty when either axis empties."""
+        lat_lo = max(self.lat_lo, o.lat_lo)
+        lat_hi = min(self.lat_hi, o.lat_hi)
+        lng = self.lng.intersection(o.lng)
+        if lat_lo > lat_hi or lng.is_empty():
+            return LatLngRect.empty()
+        r = LatLngRect(lat_lo, lat_hi, 0, 0)
+        r.lng = lng
+        return r
+
+    def add_point(self, lat: float, lng: float) -> "LatLngRect":
+        """S2LatLngRect.addPoint (S2LatLngRect.kt:329-334)."""
+        if self.is_empty():
+            return LatLngRect.from_point(lat, lng)
+        r = LatLngRect(min(self.lat_lo, lat), max(self.lat_hi, lat), 0, 0)
+        r.lng = self.lng.add_point(lng)
+        return r
+
+    def add_point_xyz(self, p: np.ndarray) -> "LatLngRect":
+        return self.add_point(_lat_of(p), _lng_of(p))
+
+    def expanded(self, margin_lat: float, margin_lng: float) -> "LatLngRect":
+        """S2LatLngRect.expanded (S2LatLngRect.kt:358-364): grow (or with
+        negative margins shrink) each axis in lat-lng space; latitudes are
+        clamped to [-Pi/2, Pi/2] and the result may be empty."""
+        if self.lat_lo > self.lat_hi:
+            lat_lo, lat_hi = self.lat_lo, self.lat_hi  # empty stays empty
+        else:
+            lat_lo = self.lat_lo - margin_lat
+            lat_hi = self.lat_hi + margin_lat
+        lng = self.lng.expanded(margin_lng)
+        if lat_lo > lat_hi or lng.is_empty():
+            return LatLngRect.empty()
+        r = LatLngRect(max(lat_lo, -math.pi / 2),
+                       min(lat_hi, math.pi / 2), 0, 0)
+        r.lng = lng
+        return r
+
+    def polar_closure(self) -> "LatLngRect":
+        """S2LatLngRect.polarClosure (S2LatLngRect.kt:369-374)."""
+        if self.lat_lo == -math.pi / 2 or self.lat_hi == math.pi / 2:
+            r = LatLngRect(self.lat_lo, self.lat_hi, 0, 0)
+            r.lng = LngInterval.full()
+            return r
+        return self
 
     def get_vertex(self, k: int) -> tuple[float, float]:
         """(lat, lng) of vertex k CCW from lower-left."""
@@ -596,49 +856,180 @@ class LatLngRect:
         return lat, lng
 
     def expanded_by_distance(self, distance_rad: float) -> "LatLngRect":
-        """S2LatLngRect.expandedByDistance, positive case
-        (S2LatLngRect.kt:435-447): union of the rect with the rect
-        bounds of caps centered on each vertex."""
-        assert distance_rad >= 0.0
-        r2 = float(dist.radians_to_chord2(distance_rad))
-        out = self
-        for k in range(4):
-            lat, lng = self.get_vertex(k)
-            x, y, z = ck.latlng_deg_to_xyz(
-                np.array([math.degrees(lat)]),
-                np.array([math.degrees(lng)]))
-            cap = Cap(np.array([x[0], y[0], z[0]]), r2)
-            out = out.union(cap.rect_bound())
-        return out
+        """S2LatLngRect.expandedByDistance (S2LatLngRect.kt:435-479).
+        Positive: union of the rect with the rect bounds of caps centered
+        on each vertex.  Negative: shrink the latitude band (except at a
+        boundaryless pole) and shrink the longitude interval by the
+        widest margin the cap occupies at the extreme latitude."""
+        if distance_rad >= 0.0:
+            r2 = float(dist.radians_to_chord2(distance_rad))
+            out = self
+            for k in range(4):
+                lat, lng = self.get_vertex(k)
+                cap = Cap(_latlng_to_xyz(lat, lng), r2)
+                out = out.union(cap.rect_bound())
+            return out
+        # Negative distance: no boundary at a pole covered with full lng.
+        half_pi = math.pi / 2
+        lat_lo = (-half_pi if self.lat_lo <= -half_pi and self.lng.is_full()
+                  else self.lat_lo - distance_rad)
+        lat_hi = (half_pi if self.lat_hi >= half_pi and self.lng.is_full()
+                  else self.lat_hi + distance_rad)
+        if lat_lo > lat_hi:
+            return LatLngRect.empty()
+        max_abs_lat = max(-lat_lo, lat_hi)
+        # Law of sines for the widest longitude margin the shrink cap
+        # occupies (see S2Cap.getRectBound).
+        sin_a = math.sin(-distance_rad)
+        sin_c = math.cos(max_abs_lat)
+        max_lng_margin = (math.asin(sin_a / sin_c) if sin_a < sin_c
+                          else half_pi)
+        lng = self.lng.expanded(-max_lng_margin)
+        if lng.is_empty():
+            return LatLngRect.empty()
+        r = LatLngRect(lat_lo, lat_hi, 0, 0)
+        r.lng = lng
+        return r
 
     def get_distance_latlng(self, lat: float, lng: float) -> float:
-        """S2LatLngRect.getDistance(S2LatLng) (S2LatLngRect.kt:620-650):
-        radians from the point to the rect (0 when inside)."""
+        """S2LatLngRect.getDistance(S2LatLng) (S2LatLngRect.kt:620-637):
+        radians from the point to the rect (0 when inside).  The nearer
+        meridian edge is selected by testing which half of the lng
+        complement the point falls in."""
         assert not self.is_empty()
         if self.lng.contains(lng):
             # directly north/south of the lat band
             return max(0.0, max(self.lat_lo - lat, lat - self.lat_hi))
-        # nearest meridian boundary of the lng interval
-        nearest_lng = self.lng.lo
-        d_lo = abs(_wrap_angle(lng - self.lng.lo))
-        d_hi = abs(_wrap_angle(lng - self.lng.hi))
-        if d_hi < d_lo:
-            nearest_lng = self.lng.hi
-        # distance from point to the boundary segment of that meridian
-        # between lat_lo and lat_hi, via the point-edge kernel
-        px, py, pz = ck.latlng_deg_to_xyz(
-            np.array([math.degrees(lat)]), np.array([math.degrees(lng)]))
-        ax, ay, az = ck.latlng_deg_to_xyz(
-            np.array([math.degrees(self.lat_lo)]),
-            np.array([math.degrees(nearest_lng)]))
-        bx, by, bz = ck.latlng_deg_to_xyz(
-            np.array([math.degrees(self.lat_hi)]),
-            np.array([math.degrees(nearest_lng)]))
-        p = np.array([[px[0], py[0], pz[0]]])
-        a = np.array([[ax[0], ay[0], az[0]]])
-        b = np.array([[bx[0], by[0], bz[0]]])
-        d2 = dist.point_edge_chord2(p, a, b)[0, 0]
-        return float(dist.chord2_to_radians(d2))
+        a_lng = self.lng.lo
+        if LngInterval(self.lng.hi, self.lng.complement_center()).contains(lng):
+            a_lng = self.lng.hi
+        p = _latlng_to_xyz(lat, lng)
+        lo = _latlng_to_xyz(self.lat_lo, a_lng)
+        hi = _latlng_to_xyz(self.lat_hi, a_lng)
+        return _point_edge_dist_rad(p, lo, hi)
+
+    def get_distance_rect(self, other: "LatLngRect") -> float:
+        """S2LatLngRect.getDistance(S2LatLngRect) (S2LatLngRect.kt:552-613):
+        minimum angle between the two (non-empty) rects."""
+        assert not self.is_empty() and not other.is_empty()
+        a, b = self, other
+        if a.lng.intersects(b.lng):
+            if a.lat_lo <= b.lat_hi and b.lat_lo <= a.lat_hi:
+                return 0.0
+            # shortest path runs along a shared meridian
+            if a.lat_lo > b.lat_hi:
+                return a.lat_lo - b.lat_hi
+            return b.lat_lo - a.lat_hi
+        # closest points lie on the nearer pair of meridian edges
+        lo_hi = LngInterval.from_point_pair(a.lng.lo, b.lng.hi)
+        hi_lo = LngInterval.from_point_pair(a.lng.hi, b.lng.lo)
+        if lo_hi.length() < hi_lo.length():
+            a_lng, b_lng = a.lng.lo, b.lng.hi
+        else:
+            a_lng, b_lng = a.lng.hi, b.lng.lo
+        a_lo = _latlng_to_xyz(a.lat_lo, a_lng)
+        a_hi = _latlng_to_xyz(a.lat_hi, a_lng)
+        b_lo = _latlng_to_xyz(b.lat_lo, b_lng)
+        b_hi = _latlng_to_xyz(b.lat_hi, b_lng)
+        return min(_point_edge_dist_rad(a_lo, b_lo, b_hi),
+                   _point_edge_dist_rad(a_hi, b_lo, b_hi),
+                   _point_edge_dist_rad(b_lo, a_lo, a_hi),
+                   _point_edge_dist_rad(b_hi, a_lo, a_hi))
+
+    def area(self) -> float:
+        """S2LatLngRect.area (S2LatLngRect.kt:178-183): lng span times the
+        height difference of the two spherical caps."""
+        if self.is_empty():
+            return 0.0
+        return self.lng.length() * (math.sin(self.lat_hi) -
+                                    math.sin(self.lat_lo))
+
+    def centroid(self) -> np.ndarray:
+        """S2LatLngRect.centroid (S2LatLngRect.kt:197-248): true centroid
+        scaled by the rect's area (additive across disjoint regions)."""
+        if self.is_empty():
+            return np.zeros(3)
+        z1, z2 = math.sin(self.lat_lo), math.sin(self.lat_hi)
+        r1, r2 = math.cos(self.lat_lo), math.cos(self.lat_hi)
+        alpha = 0.5 * self.lng.length()
+        r = math.sin(alpha) * (r2 * z2 - r1 * z1 +
+                               (self.lat_hi - self.lat_lo))
+        lng = self.lng.center()
+        z = alpha * (z2 + z1) * (z2 - z1)  # scaled by the area
+        return np.array([r * math.cos(lng), r * math.sin(lng), z])
+
+    def boundary_intersects(self, v0: np.ndarray, v1: np.ndarray) -> bool:
+        """S2LatLngRect.boundaryIntersects (S2LatLngRect.kt:308-321):
+        true if geodesic edge v0->v1 crosses any non-degenerate side."""
+        if self.is_empty():
+            return False
+        if not self.lng.is_full():
+            if _intersects_lng_edge(v0, v1, self.lat_lo, self.lat_hi,
+                                    self.lng.lo):
+                return True
+            if _intersects_lng_edge(v0, v1, self.lat_lo, self.lat_hi,
+                                    self.lng.hi):
+                return True
+        if self.lat_lo != -math.pi / 2 and _intersects_lat_edge(
+                v0, v1, self.lat_lo, self.lng):
+            return True
+        if self.lat_hi != math.pi / 2 and _intersects_lat_edge(
+                v0, v1, self.lat_hi, self.lng):
+            return True
+        return False
+
+    def intersects_cell(self, cell: "Cell") -> bool:
+        """Exact rect/cell intersection (S2LatLngRect.kt:486-545)."""
+        if self.is_empty():
+            return False
+        if self.contains_point(cell.center()):
+            return True
+        c_lat, c_lng = self.center()
+        if cell.contains_point(_latlng_to_xyz(c_lat, c_lng)):
+            return True
+        if not self.intersects_rect(cell.rect_bound()):
+            return False
+        # Boundary-vs-boundary: cell vertices inside the rect, then each
+        # cell edge against the rect's meridian and latitude sides.
+        verts = cell.vertices()
+        lls = [(_lat_of(v), _lng_of(v)) for v in verts]
+        for lat, lng in lls:
+            if self.contains_latlng(lat, lng):
+                return True
+        for i in range(4):
+            a, b = verts[i], verts[(i + 1) & 3]
+            edge_lng = LngInterval.from_point_pair(lls[i][1],
+                                                   lls[(i + 1) & 3][1])
+            if not self.lng.intersects(edge_lng):
+                continue
+            if edge_lng.contains(self.lng.lo) and _intersects_lng_edge(
+                    a, b, self.lat_lo, self.lat_hi, self.lng.lo):
+                return True
+            if edge_lng.contains(self.lng.hi) and _intersects_lng_edge(
+                    a, b, self.lat_lo, self.lat_hi, self.lng.hi):
+                return True
+            if _intersects_lat_edge(a, b, self.lat_lo, self.lng):
+                return True
+            if _intersects_lat_edge(a, b, self.lat_hi, self.lng):
+                return True
+        return False
+
+    def get_hausdorff_distance(self, other: "LatLngRect") -> float:
+        return max(self.get_directed_hausdorff_distance(other),
+                   other.get_directed_hausdorff_distance(self))
+
+    def get_directed_hausdorff_distance(self, other: "LatLngRect") -> float:
+        """S2LatLngRect.getDirectedHausdorffDistance
+        (S2LatLngRect.kt:649-660): h(A,B) = max_{p in A} min_{q in B}."""
+        if self.is_empty():
+            return 0.0
+        if other.is_empty():
+            return math.pi
+        lng_distance = self.lng.directed_hausdorff(other.lng)
+        assert lng_distance >= 0
+        return _directed_hausdorff_lat(lng_distance,
+                                       (self.lat_lo, self.lat_hi),
+                                       (other.lat_lo, other.lat_hi))
 
     def contains_cell(self, cell: Cell) -> bool:
         return self.contains_rect(cell.rect_bound())
@@ -658,14 +1049,14 @@ class LatLngRect:
             pole_z, pole_angle = 1.0, math.pi / 2 - self.lat_lo
         pole_cap = Cap(np.array([0.0, 0.0, pole_z]),
                        float(dist.radians_to_chord2(pole_angle)))
-        if self.lng.length() < 2 * math.pi - 1e-15 and \
-                not self.lng.is_inverted():
-            mid_lng = 0.5 * (self.lng.lo + self.lng.hi)
-            mid_lat = 0.5 * (self.lat_lo + self.lat_hi)
-            x, y, z = ck.latlng_deg_to_xyz(
-                np.array([math.degrees(mid_lat)]),
-                np.array([math.degrees(mid_lng)]))
-            center = np.array([x[0], y[0], z[0]])
+        # Mid cap only when the rect spans < 180 deg of longitude
+        # (S2LatLngRect.kt:753-754); beyond that the vertices no longer
+        # bound the far side of the rect.
+        lng_span = self.lng.hi - self.lng.lo
+        if math.remainder(lng_span, 2 * math.pi) >= 0 and \
+                lng_span < math.pi:
+            mid_lat, mid_lng = self.center()
+            center = _latlng_to_xyz(mid_lat, mid_lng)
             r2 = 0.0
             for la in (self.lat_lo, self.lat_hi):
                 for ln in (self.lng.lo, self.lng.hi):
@@ -678,6 +1069,123 @@ class LatLngRect:
             if mid_cap.radius2 < pole_cap.radius2:
                 return mid_cap
         return pole_cap
+
+
+def _angle_between(a: np.ndarray, b: np.ndarray) -> float:
+    """Angle in radians between two (unit) vectors, stable near 0/pi."""
+    c = np.cross(a, b)
+    return math.atan2(math.sqrt(float(c @ c)), float(a @ b))
+
+
+def _intersects_lng_edge(a: np.ndarray, b: np.ndarray, lat_lo: float,
+                         lat_hi: float, lng: float) -> bool:
+    """S2LatLngRect.intersectsLngEdge (S2LatLngRect.kt:907-919): edge AB
+    vs the meridian segment [lat_lo, lat_hi] at longitude lng — meridians
+    are geodesics, so this is a plain crossing test."""
+    return pred.crossing_sign(a, b, _latlng_to_xyz(lat_lo, lng),
+                              _latlng_to_xyz(lat_hi, lng)) > 0
+
+
+def _intersects_lat_edge(a: np.ndarray, b: np.ndarray, lat: float,
+                         lng: "LngInterval") -> bool:
+    """S2LatLngRect.intersectsLatEdge (S2LatLngRect.kt:924-980): edge AB
+    vs the curve of constant latitude restricted to the lng interval.
+    The great circle through AB meets the latitude circle at angles
+    +-theta from the frame direction of maximum latitude."""
+    z = _robust_cross(a, b)
+    z = z / np.linalg.norm(z)
+    if z[2] < 0:
+        z = -z
+    # Orthonormal frame (x, y, z): x points at the great circle's
+    # maximum-latitude point.
+    y = _robust_cross(z, np.array([0.0, 0.0, 1.0]))
+    y = y / np.linalg.norm(y)
+    x = np.cross(y, z)
+    sin_lat = math.sin(lat)
+    if abs(sin_lat) >= x[2]:
+        return False  # great circle does not reach this latitude
+    cos_theta = sin_lat / x[2]
+    sin_theta = math.sqrt(1 - cos_theta * cos_theta)
+    theta = math.atan2(sin_theta, cos_theta)
+    ab_theta = LngInterval.from_point_pair(
+        math.atan2(float(a @ y), float(a @ x)),
+        math.atan2(float(b @ y), float(b @ x)))
+    if ab_theta.contains(theta):
+        isect = x * cos_theta + y * sin_theta
+        if lng.contains(math.atan2(float(isect[1]), float(isect[0]))):
+            return True
+    if ab_theta.contains(-theta):
+        isect = x * cos_theta - y * sin_theta
+        if lng.contains(math.atan2(float(isect[1]), float(isect[0]))):
+            return True
+    return False
+
+
+def _directed_hausdorff_lat(lng_diff: float, a: tuple, b: tuple) -> float:
+    """S2LatLngRect helper (S2LatLngRect.kt:987-1061): directed Hausdorff
+    distance from the meridian edge with latitude range `a` at lng 0 to
+    the meridian edge with latitude range `b` at lng `lng_diff`."""
+    assert 0.0 <= lng_diff <= math.pi
+    a_lo_lat, a_hi_lat = a
+    b_lo_lat, b_hi_lat = b
+    if lng_diff == 0.0:
+        # R1Interval.directedHausdorffDistance (R1Interval.kt:193-197)
+        if a_lo_lat > a_hi_lat:
+            return 0.0
+        if b_lo_lat > b_hi_lat:
+            return math.pi
+        return max(0.0, a_hi_lat - b_hi_lat, b_lo_lat - a_lo_lat)
+    b_lng = lng_diff
+    b_lo = _latlng_to_xyz(b_lo_lat, b_lng)
+    b_hi = _latlng_to_xyz(b_hi_lat, b_lng)
+    a_lo = _latlng_to_xyz(a_lo_lat, 0.0)
+    a_hi = _latlng_to_xyz(a_hi_lat, 0.0)
+    max_distance = max(_point_edge_dist_rad(a_lo, b_lo, b_hi),
+                       _point_edge_dist_rad(a_hi, b_lo, b_hi))
+    if lng_diff <= math.pi / 2:
+        # Case A2: both edges cross the equator.
+        if a_lo_lat <= 0.0 <= a_hi_lat and b_lo_lat <= 0.0 <= b_hi_lat:
+            max_distance = max(max_distance, lng_diff)
+    else:
+        # Case B2: intersection of edge a with the bisector of b.
+        p = _bisector_intersection((b_lo_lat, b_hi_lat), b_lng)
+        p_lat = _lat_of(p)
+        if a_lo_lat <= p_lat <= a_hi_lat:
+            max_distance = max(max_distance, _angle_between(p, b_lo))
+        # Case B3: interior maxima of the split halves of edge a.
+        if p_lat > a_lo_lat:
+            max_distance = max(max_distance, _interior_max_distance(
+                (a_lo_lat, min(p_lat, a_hi_lat)), b_lo))
+        if p_lat < a_hi_lat:
+            max_distance = max(max_distance, _interior_max_distance(
+                (max(p_lat, a_lo_lat), a_hi_lat), b_hi))
+    return max_distance
+
+
+def _bisector_intersection(lat: tuple, lng: float) -> np.ndarray:
+    """S2LatLngRect.getBisectorIntersection (S2LatLngRect.kt:1066-1078)."""
+    lng_abs = abs(lng)
+    lat_center = 0.5 * (lat[0] + lat[1])
+    if lat_center >= 0:
+        ortho_bisector = _latlng_to_xyz(lat_center - math.pi / 2, lng_abs)
+    else:
+        ortho_bisector = _latlng_to_xyz(-lat_center - math.pi / 2,
+                                        lng_abs - math.pi)
+    ortho_lng = np.array([0.0, -1.0, 0.0])
+    return _robust_cross(ortho_lng, ortho_bisector)
+
+
+def _interior_max_distance(a_lat: tuple, b: np.ndarray) -> float:
+    """S2LatLngRect.getInteriorMaxDistance (S2LatLngRect.kt:1084-1098):
+    max distance from b to the meridian segment a_lat at lng 0, when the
+    max occurs strictly inside the segment; -1 otherwise."""
+    if a_lat[0] > a_lat[1] or b[0] >= 0:
+        return -1.0
+    intersection_point = np.array([-float(b[0]), 0.0, -float(b[2])])
+    intersection_point /= np.linalg.norm(intersection_point)
+    if a_lat[0] < _lat_of(intersection_point) < a_lat[1]:
+        return _angle_between(b, intersection_point)
+    return -1.0
 
 
 def edge_lat_lng_bound(a: np.ndarray,

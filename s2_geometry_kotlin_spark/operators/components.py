@@ -147,14 +147,45 @@ def connected_components_star(pairs: DataFrame, a: str = "doc_a",
             .select("node", F.coalesce("comp", "node").alias("comp")))
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_components(spark: SparkSession, sf_dir: str,
+                       via_reps: bool = True) -> DataFrame:
     """(doc_id, component_id) over the verified MinHash-LSH pairs —
-    the cluster table a keep-one-per-cluster filter joins against."""
-    from .dedup import q_minhash_lsh_pairs
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(pairs).select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("component_id"))
+    the cluster table a keep-one-per-cluster filter joins against.
+
+    Default path (via_reps): representatives elected per exact
+    fingerprint group run the LSH + propagation, then every group
+    member inherits its representative's component.  Identical output
+    to propagation over the full pair graph — exact-dup groups are
+    cliques through their representative, and representatives are
+    group minima so the rep-graph minimum IS the cluster minimum — but
+    the propagation never materializes the O(group_size^2) intra-group
+    pairs that dominate the mirror-heavy regime (r5: ~890x true-pair
+    volume from 10x replication).  tests/test_components.py pins
+    rep-path == full-path equality."""
+    from .dedup import _minhash_pairs_over, _rep_mapping, \
+        q_minhash_lsh_pairs
+    if not via_reps:
+        pairs = (q_minhash_lsh_pairs(spark, sf_dir, via_reps=False)
+                 .select("doc_a", "doc_b"))
+        return connected_components(pairs).select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component_id"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mapping = _rep_mapping(docs).cache()
+    reps = (docs.join(
+        mapping.where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id"), "doc_id"))
+    rep_pairs = _minhash_pairs_over(reps).select("doc_a", "doc_b")
+    rep_comp = connected_components(rep_pairs).select(
+        F.col("node").alias("rep_id"), F.col("comp").alias("rep_comp"))
+    # a doc appears in the full pair graph iff its group has >= 2
+    # members (intra pairs) or its representative has a near-dup pair
+    return (mapping.join(rep_comp, "rep_id", "left")
+            .where((F.col("n_copies") >= 2) |
+                   F.col("rep_comp").isNotNull())
+            .select(F.col("doc_id"),
+                    F.coalesce("rep_comp", "rep_id")
+                    .alias("component_id")))
 
 
 def dedup_components_sql() -> str:

@@ -52,10 +52,28 @@ def dedup_exact_sql() -> str:
             "count(*) AS n_copies FROM documents GROUP BY 1")
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _shingle_rows_of(docs: DataFrame) -> DataFrame:
     return (docs.select("doc_id",
                         F.explode(_shingles_spark()).alias("shingle")))
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _shingle_rows_of(docs)
+
+
+def _rep_mapping(docs: DataFrame) -> DataFrame:
+    """(doc_id, rep_id, n_copies): exact-fingerprint groups with the
+    min doc id elected representative.  One hash aggregate + one
+    broadcast-friendly equi-join — the cheap pre-pass that makes the
+    heavy-duplication (mirror-page) regime scale: shingling, banding
+    and Jaccard verification then run over representatives only."""
+    with_md5 = docs.select("doc_id", F.md5("text").alias("text_md5"))
+    groups = with_md5.groupBy("text_md5").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").alias("n_copies"))
+    return with_md5.join(groups, "text_md5").select(
+        "doc_id", "rep_id", "n_copies")
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,16 +120,68 @@ WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                        verify: bool = True,
+                        via_reps: bool = True) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with verified Jaccard.
+
+    Default path (via_reps): exact-fingerprint groups elect a min-id
+    representative first (`_rep_mapping`), the LSH pipeline runs over
+    REPRESENTATIVES ONLY, and the verified rep pairs are re-expanded to
+    the full pair set (intra-group pairs at Jaccard 1.0 + each rep pair
+    fanned out across both groups).  Output is IDENTICAL to the
+    full-corpus pipeline — exact duplicates share every shingle, hence
+    every band minimum, hence always pair at Jaccard 1.0 — but the
+    shingle/band/verify cost scales with DISTINCT texts, which is what
+    survives at 100 TB where mirror pages dominate (the r5 sf1 leg
+    measured ~890x true-pair volume from 10x replication).
+    tests/test_components.py pins rep-path == full-path equality.
+
+    verify=False is the bench stage split (candidate generation only,
+    full corpus, no representative election)."""
+    if verify and via_reps:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mapping = _rep_mapping(docs).cache()
+        reps = (docs.join(
+            mapping.where(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id"), "doc_id"))
+        rep_pairs = _minhash_pairs_over(reps)
+        # intra-group pairs: exact duplicates, Jaccard exactly 1.0
+        m1 = mapping.select("rep_id", F.col("doc_id").alias("doc_a"))
+        m2 = mapping.select("rep_id", F.col("doc_id").alias("doc_b"))
+        intra = (m1.join(m2, "rep_id")
+                 .where(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b",
+                         F.lit(1.0).alias("jaccard")))
+        # cross-group pairs: each verified rep pair fans out across the
+        # two groups (members share their rep's shingle set verbatim)
+        ma = mapping.select(F.col("rep_id").alias("rep_a"),
+                            F.col("doc_id").alias("da"))
+        mb = mapping.select(F.col("rep_id").alias("rep_b"),
+                            F.col("doc_id").alias("db"))
+        cross = (rep_pairs
+                 .select(F.col("doc_a").alias("rep_a"),
+                         F.col("doc_b").alias("rep_b"), "jaccard")
+                 .join(ma, "rep_a").join(mb, "rep_b")
+                 .select(F.least("da", "db").alias("doc_a"),
+                         F.greatest("da", "db").alias("doc_b"),
+                         "jaccard"))
+        return intra.unionByName(cross)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _minhash_pairs_over(docs, verify=verify)
+
+
+def _minhash_pairs_over(docs: DataFrame,
                         verify: bool = True) -> DataFrame:
-    """MinHash-LSH candidates: per-band min hash over salted shingle
-    md5s; pairs sharing any band bucket, with verified Jaccard.
+    """The core pipeline over an arbitrary documents frame: per-band min
+    hash over salted shingle md5s; pairs sharing any band bucket, with
+    verified Jaccard.
 
     Verification is CANDIDATE-ONLY: shingles are joined to the candidate
     pairs (cand -> a-side shingles -> matching b-side shingles), so the
     cost is O(candidate pairs x shingles/doc) — never the full sh x sh
-    all-pairs join the LSH exists to avoid.  tests/test_dedup_plan.py
+    all-pairs join the LSH exists to avoid.  tests/test_plan_shapes.py
     asserts the physical plan has no shingle-only equi-join."""
-    sh = _shingle_rows(spark, sf_dir).cache()
+    sh = _shingle_rows_of(docs).cache()
     # all band minima in ONE aggregation keyed doc_id: the per-band
     # salted md5s are computed map-side as N_BANDS columns and reduced
     # by partial aggregation, so the shuffle moves ~one row per doc

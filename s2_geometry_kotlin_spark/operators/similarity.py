@@ -570,3 +570,88 @@ def write_clustered_embeddings(out_dir: str, n: int = CLUSTERED_N,
     })
     pq.write_table(tbl, path)
     return out_dir
+
+
+def ivf_recall_curve(spark: SparkSession, sf_dir: str,
+                     sample_mod: int = QUERY_MOD) -> dict[int, float]:
+    """Estimated recall@TOP_K of ivf_topk as a function of nprobe, from
+    ONE pass: for each sampled query's true top-k neighbor (brute-force
+    over the corpus with broadcast sample queries), find the POSITION of
+    the neighbor's coarse list in the query's distance-sorted centroid
+    order.  A true neighbor is returned by IVF at probe count p iff its
+    list is among the first p probed (nothing outside the true top-k
+    can displace it), so recall(p) is the CDF of those positions — the
+    whole curve costs one brute pass + one bounded (<= IVF_K rows)
+    aggregate, instead of re-running the query per candidate nprobe.
+
+    At 100 TB the brute pass runs over a corpus SAMPLE; here the tables
+    are small enough to use the full corpus, which only tightens the
+    estimate."""
+    cents = _ivf_centroids(_ivf_train_path(sf_dir))
+    vecs = _load(spark, sf_dir)
+    assigned = vecs.withColumn(
+        "cid", _ivf_assign_expr(cents, F.col("v")).cid)
+    queries = (vecs.where(F.col("vec_id") % sample_mod == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm")))
+    # true top-k per sampled query
+    cand = (vecs.crossJoin(F.broadcast(queries))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", _dot(F.col("v"), F.col("qv")) /
+                        (F.col("norm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth = (cand.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= TOP_K)
+             .select("query_id", "vec_id"))
+    # the query's full centroid order (ties to the lower cid, matching
+    # ivf_topk's array_sort probe selection)
+    pairs = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"),
+                           F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda s, t: s + t).alias("d2"),
+            F.lit(i).cast("long").alias("cid"))
+        for i, c in enumerate(cents)])
+    q_probes = queries.select(
+        "query_id",
+        F.transform(F.array_sort(pairs), lambda p: p.cid).alias("probes"))
+    # per true neighbor: 1-based index of its list in the probe order
+    hit_at = (truth
+              .join(assigned.select("vec_id", "cid"), "vec_id")
+              .join(q_probes, "query_id")
+              .select(F.array_position("probes", F.col("cid"))
+                      .alias("probe_idx")))
+    hist = {int(r["probe_idx"]): int(r["n"]) for r in
+            hit_at.groupBy("probe_idx")
+            .agg(F.count("*").alias("n")).collect()}
+    n_queries = queries.count()
+    denom = max(1, n_queries * TOP_K)
+    curve: dict[int, float] = {}
+    cum = 0
+    for p in range(1, IVF_K + 1):
+        cum += hist.get(p, 0)
+        curve[p] = round(cum / denom, 4)
+    return curve
+
+
+def ivf_auto_nprobe(spark: SparkSession, sf_dir: str,
+                    recall_target: float = 0.8,
+                    sample_mod: int = QUERY_MOD) -> tuple[int, dict]:
+    """Smallest nprobe whose estimated recall@TOP_K meets the target on
+    the sampled query set (VERDICT r5 item 7); falls back to IVF_K
+    (exhaustive probing) when no smaller setting reaches it."""
+    curve = ivf_recall_curve(spark, sf_dir, sample_mod=sample_mod)
+    for p in range(1, IVF_K + 1):
+        if curve[p] >= recall_target:
+            return p, curve
+    return IVF_K, curve
+
+
+def ivf_topk_auto(spark: SparkSession, sf_dir: str,
+                  recall_target: float = 0.8) -> DataFrame:
+    """ivf_topk with nprobe chosen by the sampled recall estimate."""
+    nprobe, _curve = ivf_auto_nprobe(spark, sf_dir, recall_target)
+    return ivf_topk(spark, sf_dir, nprobe=nprobe)

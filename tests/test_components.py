@@ -138,3 +138,39 @@ def test_star_keeps_self_pair_only_nodes(spark):
     star = {(r["node"], r["comp"])
             for r in connected_components_star(df).collect()}
     assert star == {(1, 1), (2, 1), (7, 7)}
+
+
+def test_rep_path_equals_full_path(spark):
+    """Representative election (exact-dup pre-pass) must be output-
+    identical to the full-corpus pipeline, for both the pair query and
+    the component query (VERDICT r5 item 4).  sf0.001 documents are
+    replicated 3x so exact-duplicate groups actually exist."""
+    import pyspark.sql.functions as F
+    from s2_geometry_kotlin_spark.operators.components import \
+        q_dedup_components
+    from s2_geometry_kotlin_spark.operators.dedup import \
+        q_minhash_lsh_pairs
+
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    repl_dir = "/tmp/s2_test_docs_repl3"
+    (docs.withColumn("rep", F.explode(F.array(
+         *[F.lit(i) for i in range(3)])))
+     .withColumn("doc_id", F.col("doc_id") * 3 + F.col("rep"))
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{repl_dir}/documents.parquet"))
+
+    full_pairs = sorted(
+        tuple(r) for r in q_minhash_lsh_pairs(
+            spark, repl_dir, via_reps=False).collect())
+    rep_pairs = sorted(
+        tuple(r) for r in q_minhash_lsh_pairs(
+            spark, repl_dir, via_reps=True).collect())
+    assert rep_pairs == full_pairs
+    assert len(rep_pairs) > len(docs.collect())  # dup groups exist
+
+    full_comp = sorted(tuple(r) for r in q_dedup_components(
+        spark, repl_dir, via_reps=False).collect())
+    rep_comp = sorted(tuple(r) for r in q_dedup_components(
+        spark, repl_dir, via_reps=True).collect())
+    assert rep_comp == full_comp
