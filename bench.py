@@ -163,6 +163,12 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
             q_mh(spark, big_docs_dir)), n_reps=1)
         timed(f"dedup_components_{repl}x", lambda: force(
             q_dc(spark, big_docs_dir)), n_reps=1)
+        # A/B evidence for the r5-item-4 representative election: the
+        # same rows WITHOUT the exact-dup pre-pass (r5 baseline path)
+        timed(f"minhash_lsh_pairs_{repl}x_fullscan", lambda: force(
+            q_mh(spark, big_docs_dir, via_reps=False)), n_reps=1)
+        timed(f"dedup_components_{repl}x_fullscan", lambda: force(
+            q_dc(spark, big_docs_dir, via_reps=False)), n_reps=1)
         return timings, n_pages
     # q4b: the same broadcast/salted pair at 4x the pages (8M at the
     # default sf0.1 bench) — multi-second rows where the VM noise band
@@ -312,8 +318,9 @@ def main() -> None:
             "knn_stage_k1", "minhash_stage_cand",
             "dedup_stage_propagation"}
     # the sf1 dedup-scaling rows are diagnostics too (replicated-corpus
-    # workload, not a headline query)
-    diag |= {k for k in timings if k.endswith("x") and
+    # workload, not a headline query), including the _fullscan A/B legs
+    diag |= {k for k in timings if
+             (k.endswith("x") or k.endswith("fullscan")) and
              ("minhash" in k or "dedup" in k)}
     total = round(sum(v for k, v in timings.items() if k not in diag), 3)
     join_secs = timings.get("spatial_join", 1.0)

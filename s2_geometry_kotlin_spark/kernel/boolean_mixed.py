@@ -827,6 +827,42 @@ def _chain_sub_in_region(Y: "_Operand", u, v, pm: str) -> bool:
         _subedge_in_chain_features(Y, u, v, pm)
 
 
+def _check_key_resolution(*geoms: LaxGeometry) -> None:
+    """The kernel keys vertices at the fixed 1e-6-degree `_key`
+    resolution; two DISTINCT input vertices closer than that would
+    silently merge and degrade sub-edge classification (ADVICE r5).
+    Nothing enforced it for operator-supplied rows — fail loudly
+    instead.  Vertices within ~1e-9 degrees are treated as the same
+    logical point (numerical noise of snapped intersections)."""
+    seen: dict[tuple, tuple] = {}
+    for g in geoms:
+        arrays = (list(g.points) + [v for ln in g.lines for v in ln]
+                  + [v for lo in g.loops for v in lo])
+        for p in arrays:
+            lat, lng = _latlng(p)
+            k = _key(p)
+            prev = seen.get(k)
+            if prev is None:
+                seen[k] = (lat, lng)
+            elif (abs(prev[0] - lat) > 1e-9 or
+                  abs(_wrap_deg(prev[1] - lng)) > 1e-9):
+                raise ValueError(
+                    f"mixed-boolean vertices {prev} and ({lat}, {lng}) "
+                    f"deg are distinct but collide at the kernel's "
+                    f"1e-6-degree key resolution; snap the input (e.g. "
+                    f"MixedOptions.snap_exponent <= 6) or separate the "
+                    f"vertices")
+
+
+def _wrap_deg(d: float) -> float:
+    d = math.fmod(d, 360.0)
+    if d > 180.0:
+        d -= 360.0
+    if d < -180.0:
+        d += 360.0
+    return d
+
+
 def boolean_op_mixed(a_geom: LaxGeometry, b_geom: LaxGeometry, op: str,
                      opts: MixedOptions | None = None) -> MixedResult:
     """A op B over mixed-dimension geometry; see module docstring."""
@@ -834,6 +870,7 @@ def boolean_op_mixed(a_geom: LaxGeometry, b_geom: LaxGeometry, op: str,
         raise ValueError(f"op must be one of {OPS}")
     opts = opts or MixedOptions()
     assert opts.polygon_model in MODELS and opts.polyline_model in MODELS
+    _check_key_resolution(a_geom, b_geom)
     A = _Operand(a_geom, opts, b_geom)
     B = _Operand(b_geom, opts, a_geom)
     res = MixedResult()

@@ -124,11 +124,20 @@ class Polyline:
         ci = np.tile(np.arange(nc), na)
         if bool(ek.edges_cross(a[ai], b[ai], c[ci], d[ci]).any()):
             return True
+        # crossing_sign >= 0 without a strict crossing requires CONTACT
+        # (shared vertex or vertex on an edge interior), i.e. exact
+        # edge-edge distance zero — so the exact ladder only needs the
+        # pairs whose vectorized chord distance is within kernel error
+        # of zero (ADVICE r5: the previous all-pairs ladder made every
+        # DISJOINT polyline pair pay the quadratic exact-arithmetic
+        # cost, the common case in bulk joins)
+        d2 = ek.edge_edge_chord2(a[ai], b[ai], c[ci], d[ci])
+        near = np.flatnonzero(d2 <= 1e-24)  # chord 1e-12 >> kernel err
         from . import predicates as pred
-        for i in range(na):
-            for j in range(nc):
-                if pred.crossing_sign(a[i], b[i], c[j], d[j]) >= 0:
-                    return True
+        for k in near:
+            i, j = int(ai[k]), int(ci[k])
+            if pred.crossing_sign(a[i], b[i], c[j], d[j]) >= 0:
+                return True
         return False
 
     def subsample_vertices(self, tolerance_rad: float) -> list[int]:

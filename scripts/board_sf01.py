@@ -21,6 +21,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "BOARD_SF01.json"
     os.environ["S2_TEST_SF_DIR"] = sf_dir
     import duckdb
     import pandas as pd
@@ -79,9 +80,9 @@ def main() -> None:
         print(name, row.get("status"), row.get("spark_rows"),
               f"{row['secs']}s", flush=True)
     report["n_pass"] = n_pass
-    with open(os.path.join(REPO, "BOARD_SF01.json"), "w") as f:
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(report, f, indent=1)
-    print(f"{n_pass}/{len(qs)} pass -> BOARD_SF01.json")
+    print(f"{n_pass}/{len(qs)} pass -> {out_name}")
     spark.stop()
 
 

@@ -62,3 +62,28 @@ def test_pinned_results_match_engine(spark):
             r.n_polygon_edges, r.is_empty, r.is_full)
            for r in q_mixed_boolean_counts(spark, "").collect()]
     assert sorted(got) == sorted(PINNED_RESULTS)
+
+
+def test_key_resolution_collision_raises():
+    """ADVICE r5: distinct vertices closer than the kernel's 1e-6-degree
+    key resolution must be rejected loudly, not silently merged."""
+    import numpy as np
+    import pytest as _pt
+
+    from s2_geometry_kotlin_spark.kernel.boolean_mixed import (
+        LaxGeometry, boolean_op_mixed)
+
+    def pt(lat, lng):
+        import math
+        la, ln = math.radians(lat), math.radians(lng)
+        return np.array([math.cos(la) * math.cos(ln),
+                         math.cos(la) * math.sin(ln), math.sin(la)])
+
+    a = LaxGeometry(points=[pt(10.0, 10.0)])
+    b = LaxGeometry(points=[pt(10.0, 10.0 + 2e-7)])  # < 1e-6 deg apart
+    with _pt.raises(ValueError, match="key resolution"):
+        boolean_op_mixed(a, b, "union")
+    # well-separated vertices are unaffected
+    ok = LaxGeometry(points=[pt(10.0, 11.0)])
+    res = boolean_op_mixed(a, ok, "union")
+    assert len(res.edges[0]) == 2
