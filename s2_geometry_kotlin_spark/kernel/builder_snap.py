@@ -104,6 +104,19 @@ class CellIdSnap(SnapFunction):
     min snap radius = 0.5 * kMaxDiag(level) + 4 * DBL_EPSILON
     (S2CellIdSnapFunction.kt:169-178)."""
 
+    @staticmethod
+    def min_snap_radius_for_level(level: int) -> float:
+        """S2CellIdSnapFunction.minSnapRadiusForLevel
+        (S2CellIdSnapFunction.kt:169-178), radians."""
+        return 0.5 * metrics.MAX_DIAG.get_value(int(level)) + 4 * DBL_EPS
+
+    @staticmethod
+    def level_for_max_snap_radius(snap_radius: float) -> int:
+        """Largest cells whose centers stay within snap_radius
+        (S2CellIdSnapFunction.kt:190-195); clamped to a valid level."""
+        return metrics.MAX_DIAG.get_level_for_max_value(
+            2.0 * (snap_radius - 4 * DBL_EPS))
+
     def __init__(self, level: int, snap_radius: float | None = None):
         self.level = int(level)
         min_r = 0.5 * metrics.MAX_DIAG.get_value(self.level) + 4 * DBL_EPS
@@ -145,6 +158,27 @@ class IntLatLngSnap(SnapFunction):
     min snap radius = degrees(sqrt(1/2) / 10^e)
                       + (9*sqrt(2) + 1.5) * DBL_EPSILON
     (IntLatLngSnapFunction.kt:182-211)."""
+
+    MIN_EXPONENT = 0
+    MAX_EXPONENT = 10
+
+    @staticmethod
+    def min_snap_radius_for_exponent(exponent: int) -> float:
+        """IntLatLngSnapFunction.minSnapRadiusForExponent
+        (IntLatLngSnapFunction.kt:182-211), radians."""
+        scale = float(10 ** int(exponent))
+        return (math.radians((0.5 * _SQRT2) / scale)
+                + (9 * _SQRT2 + 1.5) * DBL_EPS)
+
+    @staticmethod
+    def exponent_for_max_snap_radius(snap_radius: float) -> int:
+        """Smallest exponent whose snapping stays within snap_radius
+        (IntLatLngSnapFunction.kt:223-240); clamped to the valid range."""
+        radius = max(snap_radius - (9 * _SQRT2 + 1.5) * DBL_EPS, 1e-30)
+        exponent = math.log10((0.5 * _SQRT2) / math.degrees(radius))
+        return max(IntLatLngSnap.MIN_EXPONENT,
+                   min(IntLatLngSnap.MAX_EXPONENT,
+                       math.ceil(exponent - 2 * DBL_EPS)))
 
     def __init__(self, exponent: int, snap_radius: float | None = None):
         self.exponent = int(exponent)

@@ -287,6 +287,24 @@ class LngInterval:
             lo = math.pi
         return LngInterval(lo, hi)
 
+    def is_valid(self) -> bool:
+        """S1Interval.isValid (S1Interval.kt): endpoints in [-pi, pi] and
+        -pi endpoints only in the canonical empty/full forms."""
+        return (abs(self.lo) <= math.pi and abs(self.hi) <= math.pi
+                and not (self.lo == -math.pi and self.hi != math.pi)
+                and not (self.hi == -math.pi and self.lo != math.pi))
+
+    def project(self, p: float) -> float:
+        """Closest point of the (non-empty) interval to p
+        (S1Interval.kt:377-387)."""
+        assert not self.is_empty()
+        cp = math.pi if p == -math.pi else p
+        if self.fast_contains(cp):
+            return cp
+        dlo = _positive_distance(cp, self.lo)
+        dhi = _positive_distance(self.hi, cp)
+        return self.lo if dlo < dhi else self.hi
+
     def fast_contains(self, p: float) -> bool:
         """S1Interval.fastContains: containment without the ±pi point
         normalization (assumes p in [-pi, pi])."""
