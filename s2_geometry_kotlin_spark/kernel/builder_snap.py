@@ -420,7 +420,8 @@ def snap_loops(loops: list[np.ndarray], snap: SnapFunction,
                simplify_edge_chains: bool = False,
                sites: np.ndarray | None = None,
                split_crossing_edges: bool = False,
-               idempotent: bool = False) -> list[np.ndarray]:
+               idempotent: bool = False,
+               as_graph: bool = False) -> list[np.ndarray]:
     """Snap-round a set of loops together (shared site set, so nearby
     vertices across loops merge consistently).  Returns the surviving
     snapped loops; degenerate loops (collapsed below 3 distinct sites)
@@ -472,6 +473,10 @@ def snap_loops(loops: list[np.ndarray], snap: SnapFunction,
         rings.append((verts, owners))
     if simplify_edge_chains:
         rings = _simplify_rings(rings, loops, sites, snap)
+    if as_graph:
+        # hand the snapped ring chains to the caller as (index chains,
+        # site array) for graph-substrate assembly (init_to_simplified)
+        return [v for v, _o in rings], sites
     out = []
     for verts, _owners in rings:
         chain = _drop_degeneracies(verts)
@@ -635,6 +640,29 @@ def snap_polygon(poly: Polygon, snap: SnapFunction,
     snapped = snap_loops([lp.vertices for lp in poly.loops], snap,
                          simplify_edge_chains=simplify_edge_chains)
     return Polygon([Loop(v) for v in snapped])
+
+
+def init_to_simplified(poly: Polygon, snap: SnapFunction) -> Polygon:
+    """S2Polygon.initToSimplified (S2Polygon.kt initToSimplified /
+    S2PolygonSimplifierUnitTest semantics): snap-round ALL loops
+    against one shared site set with simplifyEdgeChains on, then
+    assemble the combined directed-edge multiset on the graph
+    substrate (S2PolygonLayer: degenerate edges and sibling pairs
+    DISCARDed) so that
+
+    - a loop that pinches at a merged site splits into multiple loops,
+    - opposite-direction overlapping sub-edges of DIFFERENT loops
+      cancel and the loops merge,
+    - loops collapsed below 3 sites disappear."""
+    from .builder_graph import assemble_polygon
+    rings, sites = snap_loops([lp.vertices for lp in poly.loops], snap,
+                              simplify_edge_chains=True, as_graph=True)
+    edges = []
+    for chain in rings:
+        n = len(chain)
+        edges.extend((chain[i], chain[(i + 1) % n]) for i in range(n))
+    out_rings, _degs = assemble_polygon(sites, edges)
+    return Polygon([Loop(sites[r]) for r in out_rings if len(r) >= 3])
 
 
 def snap_polygon_pair(a: Polygon, b: Polygon,
