@@ -70,33 +70,136 @@ def signed_triangle_area(a, b, c) -> float:
     return pred.sign(a, b, c) * triangle_area(a, b, c)
 
 
+def loop_perimeter(vertices: np.ndarray) -> float:
+    """Sum of edge lengths, radians (S2LoopMeasures.kt:49-56).  Plain
+    angle accumulation — NOT chord angles, which cap at 2*pi."""
+    n = len(vertices)
+    if n <= 1:
+        return 0.0
+    total = 0.0
+    for i in range(n):
+        total += _vec_angle(vertices[i], vertices[(i + 1) % n])
+    return total
+
+
+def prune_degeneracies(vertices) -> list:
+    """Remove duplicate vertices and ABA edge pairs (sibling spikes),
+    including pairs wrapping across the loop start
+    (S2LoopMeasures.kt:195-245).  Returns [] for a completely
+    degenerate loop, else a list of vertices (rows of the input)."""
+    out: list = []
+    for v in vertices:
+        t = tuple(v)
+        if not out or t != tuple(out[-1]):
+            if len(out) >= 2 and t == tuple(out[-2]):
+                out.pop()
+            else:
+                out.append(v)
+    if len(out) < 3:
+        return []
+    if tuple(out[0]) == tuple(out[-1]):
+        out.pop()
+    # ABA pairs straddling the start: loop starts with BA... and ends
+    # with ...A
+    k = 0
+    while k + 1 < len(out) and \
+            tuple(out[k + 1]) == tuple(out[len(out) - (k + 1)]):
+        k += 1
+    span = len(out) - 2 * k
+    return [] if span < 3 else out[k:k + span]
+
+
+def _order_less(o1, o2, pts) -> bool:
+    """isOrderLess: lexicographic comparison of the full vertex
+    sequences the two loop orders induce (S2LoopMeasures.kt)."""
+    n = len(pts)
+    (f1, d1), (f2, d2) = o1, o2
+    if o1 == o2:
+        return False
+    for k in range(n):
+        a = tuple(pts[(f1 + k * d1) % n])
+        b = tuple(pts[(f2 + k * d2) % n])
+        if a < b:
+            return True
+        if a > b:
+            return False
+    return False
+
+
+def get_canonical_loop_order(vertices) -> tuple[int, int]:
+    """(first, dir) such that the sequence first, first+dir, ... is
+    invariant under rotation and reversal of the loop's vertex order:
+    the order minimizing the vertex sequence, starting at the smallest
+    vertex (S2LoopMeasures.kt:391-430)."""
+    n = len(vertices)
+    if n == 0:
+        return (0, 1)
+    min_indices = [0]
+    for i in range(1, n):
+        ti, tm = tuple(vertices[i]), tuple(vertices[min_indices[0]])
+        if ti <= tm:
+            if ti < tm:
+                min_indices = []
+            min_indices.append(i)
+    # dir=-1 candidates carry first = index + n (reference convention:
+    # the span indexes [0, 2n) so first + k*dir stays non-negative)
+    best = (min_indices[0], 1)
+    for mi in min_indices:
+        for cand in ((mi, 1), (mi + n, -1)):
+            if _order_less(cand, best, vertices):
+                best = cand
+    return best
+
+
+_MAX_CURVATURE = 2 * math.pi - 4 * 2.22e-16
+
+
+def curvature_max_error(n: int) -> float:
+    """Error bound on loop_curvature / loop area for an n-vertex loop
+    (S2LoopMeasures.kt:308-330)."""
+    return 9.73 * 2.22e-16 * n
+
+
 def loop_curvature(vertices: np.ndarray) -> float:
-    """Gauss-Bonnet curvature: sum of turn angles (Kahan summation,
-    S2LoopMeasures.kt:264-301; canonical-order refinement omitted — the
-    effect is bounded by the 9.73*eps*n error bound)."""
+    """Gauss-Bonnet curvature: sum of turn angles over the
+    degeneracy-pruned loop, accumulated in CANONICAL order with Kahan
+    summation so the result is identical under rotation and exactly
+    negated under reversal (S2LoopMeasures.kt:264-301).  Degenerate
+    loops return exactly +2*pi; the full (0-vertex) loop exactly
+    -2*pi; all other results clamp to +-(2*pi - 4*eps)."""
     n = len(vertices)
     if n == 0:
         return -2 * math.pi
     if n < 3:
         # empty (z>0) / full (z<0) convention of the 1-vertex loops
         return 2 * math.pi if vertices[0][2] >= 0 else -2 * math.pi
-    total = 0.0
+    pruned = prune_degeneracies(vertices)
+    if not pruned:
+        return 2 * math.pi
+    first, dir_ = get_canonical_loop_order(pruned)
+    n = len(pruned)
+    i = first
+    total = turn_angle(pruned[(i - dir_) % n], pruned[i % n],
+                       pruned[(i + dir_) % n])
     comp = 0.0
-    for i in range(n):
-        ang = turn_angle(vertices[(i - 1) % n], vertices[i],
-                         vertices[(i + 1) % n])
-        ang += comp
+    for _ in range(n - 1):
+        i += dir_
+        ang = turn_angle(pruned[(i - dir_) % n], pruned[i % n],
+                         pruned[(i + dir_) % n])
         old = total
+        ang += comp
         total += ang
         comp = (old - total) + ang
     total += comp
-    return max(-2 * math.pi, min(2 * math.pi, total))
+    return max(-_MAX_CURVATURE, min(_MAX_CURVATURE, dir_ * total))
 
 
 def loop_signed_area(vertices: np.ndarray) -> float:
     """Signed surface integral over fan triangles from vertex 0, with the
     Gauss-Bonnet sign cross-check (S2LoopMeasures.kt:95-160)."""
     n = len(vertices)
+    if n == 0:
+        return 4 * math.pi  # reference full-loop convention (no vertices)
     if n < 3:
         if n == 1 and vertices[0][2] < 0:
             return -4 * math.pi  # full loop sentinel
@@ -155,13 +258,19 @@ def true_centroid_triangle(a, b, c) -> np.ndarray:
 
 
 def loop_centroid(vertices: np.ndarray) -> np.ndarray:
-    """Area-weighted centroid: signed fan sum (S2LoopMeasures.kt:336+)."""
+    """Area-weighted centroid: fan sum of the SIGNED per-triangle
+    centroid integrals (S2LoopMeasures.kt:336+).  true_centroid_triangle
+    is already orientation-signed (antisymmetric under b<->c), so the
+    terms must NOT be re-multiplied by pred.sign — doing so double-signs
+    CW fan triangles, which negates the centroid of any loop enclosing
+    more than a hemisphere (r6 defect, found by the random-cap fixture
+    port at heights > 1; sub-hemisphere loops were unaffected because
+    their vertex-0 fans are all CCW)."""
     n = len(vertices)
     out = np.zeros(3)
     for i in range(1, n - 1):
-        s = pred.sign(vertices[0], vertices[i], vertices[i + 1])
-        out += s * true_centroid_triangle(vertices[0], vertices[i],
-                                          vertices[i + 1])
+        out += true_centroid_triangle(vertices[0], vertices[i],
+                                      vertices[i + 1])
     return out
 
 
