@@ -249,6 +249,135 @@ def _degree_maps(edges):
     return out_map, in_deg
 
 
+# Input-edge id used for edges that carry none (e.g. the reverse copies
+# of undirected input edges): loses to every labeled edge in the
+# walk-continuation choice (Graph.kt:877 kNoInputEdgeId).
+NO_INPUT_ID = 2 ** 31 - 2
+
+
+def _build_walks(edges: list[tuple[int, int]], directed: bool,
+                 min_input_ids: list[int] | None = None,
+                 sib: list[int] | None = None) -> list[list[int]]:
+    """PolylineBuilder.buildWalks (builder/graph/PolylineBuilder.kt:
+    91-168), shared by the directed and undirected assemblers:
+
+    - walk continuation follows the unused out-edge with the SMALLEST
+      min-input-edge id (reverse copies of undirected edges carry
+      NO_INPUT_ID and lose to every labeled edge, which is what makes
+      the layer prefer original edge directions);
+    - early walk termination: stop before consuming an edge that might
+      be the continuation of a different incoming edge (idempotency
+      across multiple input polylines);
+    - remaining loops splice into existing walks (maximizeWalk), else
+      start at edge-chain heads in input-id order;
+    - output walks sort by their first edge's input id
+      (canonicalizeVectorOrder)."""
+    n = len(edges)
+    if min_input_ids is None:
+        min_input_ids = list(range(n))
+    if not directed and sib is None:
+        sib = _sibling_map(edges)
+    out_map: dict[int, list[int]] = {}
+    in_map: dict[int, list[int]] = {}
+    for e, (a, b) in enumerate(edges):
+        out_map.setdefault(a, []).append(e)
+        in_map.setdefault(b, []).append(e)
+    used = [False] * n
+    edges_left = n if directed else n // 2
+    excess_used: dict[int, int] = {}
+    input_order = sorted(range(n), key=lambda e: (min_input_ids[e], e))
+
+    def excess_degree(v: int) -> int:
+        if directed:
+            return len(out_map.get(v, ())) - len(in_map.get(v, ()))
+        return len(out_map.get(v, ())) % 2
+
+    def build_walk(v: int) -> list[int]:
+        nonlocal edges_left
+        out: list[int] = []
+        while True:
+            best_edge, best_id = -1, NO_INPUT_ID + 1
+            for e in out_map.get(v, ()):
+                if used[e] or min_input_ids[e] >= best_id:
+                    continue
+                best_id = min_input_ids[e]
+                best_edge = e
+            if best_edge < 0:
+                return out
+            excess = excess_degree(v) - excess_used.get(v, 0)
+            if (directed and excess < 0) or \
+                    (not directed and excess % 2 == 1):
+                if any(not used[e] and min_input_ids[e] <= best_id
+                       for e in in_map.get(v, ())):
+                    return out
+            out.append(best_edge)
+            used[best_edge] = True
+            if not directed:
+                used[sib[best_edge]] = True
+            edges_left -= 1
+            v = edges[best_edge][1]
+
+    polylines: list[list[int]] = []
+    for e in input_order:
+        if used[e]:
+            continue
+        v = edges[e][0]
+        excess = excess_degree(v)
+        if excess <= 0:
+            continue
+        excess -= excess_used.get(v, 0)
+        if (directed and excess <= 0) or \
+                (not directed and excess % 2 == 0):
+            continue
+        excess_used[v] = excess_used.get(v, 0) + 1
+        w = build_walk(v)
+        polylines.append(w)
+        end_v = edges[w[-1]][1]
+        excess_used[end_v] = excess_used.get(end_v, 0) - 1
+
+    def maximize_walk(walk: list[int]) -> None:
+        i = 0
+        while i <= len(walk):
+            v = edges[walk[0]][0] if i == 0 else edges[walk[i - 1]][1]
+            if any(not used[e] for e in out_map.get(v, ())):
+                loop = build_walk(v)
+                walk[i:i] = loop
+            i += 1
+
+    if edges_left > 0:
+        for w in polylines:
+            maximize_walk(w)
+    # remaining edges form loops; start only at edge-chain heads
+    # (excess == 1 among unused edges sharing the min input id) or at
+    # degenerate edges
+    i = 0
+    while i < len(input_order) and edges_left > 0:
+        e = input_order[i]
+        if used[e]:
+            i += 1
+            continue
+        v = edges[e][0]
+        eid = min_input_ids[e]
+        excess = 0
+        j = i
+        while j < len(input_order) and \
+                min_input_ids[input_order[j]] == eid:
+            e2 = input_order[j]
+            if not used[e2]:
+                if edges[e2][0] == v:
+                    excess += 1
+                if edges[e2][1] == v:
+                    excess -= 1
+            j += 1
+        if excess == 1 or edges[e][1] == v:
+            w = build_walk(v)
+            maximize_walk(w)
+            polylines.append(w)
+        i += 1
+    polylines.sort(key=lambda w: min_input_ids[w[0]])
+    return polylines
+
+
 def get_directed_loops(edges: list[tuple[int, int]],
                        vertices=None) -> list[list[int]]:
     """Graph.getDirectedLoops(LoopType.SIMPLE) for directed graphs:
@@ -310,7 +439,9 @@ def get_directed_loops(edges: list[tuple[int, int]],
 
 
 def build_polylines(edges: list[tuple[int, int]],
-                    polyline_type: str = "path") -> list[list[int]]:
+                    polyline_type: str = "path",
+                    min_input_ids: list[int] | None = None
+                    ) -> list[list[int]]:
     """PolylineBuilder.buildPaths / buildWalks (PolylineBuilder.kt:
     56-170) for DIRECTED graphs, as lists of edge ids.
 
@@ -367,54 +498,8 @@ def build_polylines(edges: list[tuple[int, int]],
 
     if polyline_type != "walk":
         raise ValueError("polyline_type must be 'path' or 'walk'")
-
-    def build_walk(v: int) -> list[int]:
-        nonlocal n_left
-        out: list[int] = []
-        while True:
-            e = next_unused(v)
-            if e is None:
-                return out
-            out.append(e)
-            used[e] = True
-            n_left -= 1
-            v = edges[e][1]
-
-    def maximize_walk(walk: list[int]) -> None:
-        # splice loops into the walk at any vertex with unused
-        # out-edges (PolylineBuilder.maximizeWalk)
-        i = 0
-        while i <= len(walk):
-            v = edges[walk[0]][0] if i == 0 else edges[walk[i - 1]][1]
-            if next_unused(v) is not None:
-                loop = build_walk(v)
-                walk[i:i] = loop
-            else:
-                i += 1
-
-    for e in range(len(edges)):
-        v = edges[e][0]
-        if used[e]:
-            continue
-        if out_deg.get(v, 0) - in_deg.get(v, 0) <= 0:
-            continue
-        w = build_walk(v)
-        if w:
-            polylines.append(w)
-    for w in polylines:
-        if n_left == 0:
-            break
-        maximize_walk(w)
-    for e in range(len(edges)):  # leftover pure loops
-        if n_left == 0:
-            break
-        if used[e]:
-            continue
-        w = build_walk(edges[e][0])
-        if w:
-            maximize_walk(w)
-            polylines.append(w)
-    return polylines
+    return _build_walks(edges, directed=True,
+                        min_input_ids=min_input_ids)
 
 
 def _clockwise_loops(edges: list[tuple[int, int]],
@@ -529,7 +614,8 @@ def _sibling_map(edges: list[tuple[int, int]]) -> list[int]:
 
 
 def build_polylines_undirected(edges: list[tuple[int, int]],
-                               polyline_type: str = "path"
+                               polyline_type: str = "path",
+                               min_input_ids: list[int] | None = None
                                ) -> list[list[int]]:
     """PolylineBuilder for UNDIRECTED graphs (each undirected edge is a
     sibling pair of directed copies; using an edge consumes its
@@ -582,44 +668,5 @@ def build_polylines_undirected(edges: list[tuple[int, int]],
 
     if polyline_type != "walk":
         raise ValueError("polyline_type must be 'path' or 'walk'")
-
-    def build_walk(v: int) -> list[int]:
-        out: list[int] = []
-        while True:
-            e = next_unused(v)
-            if e is None:
-                return out
-            out.append(e)
-            use(e)
-            v = edges[e][1]
-
-    def maximize_walk(walk: list[int]) -> None:
-        i = 0
-        while i <= len(walk):
-            v = edges[walk[0]][0] if i == 0 else edges[walk[i - 1]][1]
-            if next_unused(v) is not None:
-                walk[i:i] = build_walk(v)
-            else:
-                i += 1
-
-    for e in range(len(edges)):
-        v = edges[e][0]
-        if used[e] or out_deg.get(v, 0) % 2 == 0:
-            continue
-        w = build_walk(v)
-        if w:
-            polylines.append(w)
-    for w in polylines:
-        if n_left == 0:
-            break
-        maximize_walk(w)
-    for e in range(len(edges)):
-        if n_left == 0:
-            break
-        if used[e]:
-            continue
-        w = build_walk(edges[e][0])
-        if w:
-            maximize_walk(w)
-            polylines.append(w)
-    return polylines
+    return _build_walks(edges, directed=False,
+                        min_input_ids=min_input_ids, sib=sib)

@@ -642,6 +642,73 @@ def snap_polygon(poly: Polygon, snap: SnapFunction,
     return Polygon([Loop(v) for v in snapped])
 
 
+def build_polyline_layer(lines: list[np.ndarray],
+                         snap: SnapFunction | None = None,
+                         edge_type: str = "directed",
+                         split_crossing_edges: bool = False
+                         ) -> list[np.ndarray]:
+    """S2PolylineLayer semantics (builder/layers/S2PolylineLayer.kt):
+    snap ALL input polylines against one shared site set, then
+    assemble the combined directed-edge multiset into maximal edge
+    WALKS (PolylineBuilder.buildWalks) — so edges contributed by
+    different input polylines merge into one output polyline when
+    possible, vertices/edges may repeat within a walk, and degenerate
+    (self) edges are discarded.  edge_type="undirected" assembles with
+    sibling-pair consumption and prefers the original direction."""
+    from .builder_graph import build_polylines, build_polylines_undirected
+    snap = snap if snap is not None else IdentitySnap(0.0)
+    lines = [np.asarray(ln, dtype=np.float64) for ln in lines]
+    edge_list = [(ln[i], ln[i + 1]) for ln in lines
+                 for i in range(len(ln) - 1)]
+    if not edge_list:
+        return []
+    all_v = np.concatenate(lines, axis=0)
+    cand = [all_v]
+    if split_crossing_edges:
+        xpts = crossing_vertices(edge_list)
+        if xpts:
+            cand.append(np.asarray(xpts))
+    sites = choose_sites(np.concatenate(cand, axis=0), snap)
+    edges: list[tuple[int, int]] = []
+    ids: list[int] = []  # per graph edge: its INPUT edge id (sub-edges
+    # of a snap-split input edge share the id — Graph.getMinInputEdgeIds)
+    input_id = 0
+    for ln in lines:
+        for i in range(len(ln) - 1):
+            seg = snap_edge(ln[i], ln[i + 1], sites, snap)
+            for a, b in zip(seg[:-1], seg[1:]):
+                if a != b:
+                    edges.append((a, b))
+                    ids.append(input_id)
+            input_id += 1
+    if edge_type == "directed":
+        walks = build_polylines(edges, "walk", min_input_ids=ids)
+    elif edge_type == "undirected":
+        # INTERLEAVE each edge with its reverse copy so each input edge
+        # pairs with its OWN reverse in the sibling map (the reference
+        # pairing — Graph.makeSiblingMap on edges sorted with input-id
+        # tie-break); the reverse copies carry NO input id, so the walk
+        # continuation prefers original edge directions
+        # (PolylineBuilder.kt:97-100).
+        from .builder_graph import NO_INPUT_ID
+        und, und_ids = [], []
+        for e, eid in zip(edges, ids):
+            und.append(e)
+            und_ids.append(eid)
+            und.append((e[1], e[0]))
+            und_ids.append(NO_INPUT_ID)
+        edges = und
+        walks = build_polylines_undirected(edges, "walk",
+                                           min_input_ids=und_ids)
+    else:
+        raise ValueError("edge_type must be 'directed' or 'undirected'")
+    out = []
+    for w in walks:
+        chain = [edges[w[0]][0]] + [edges[e][1] for e in w]
+        out.append(sites[chain])
+    return out
+
+
 def init_to_simplified(poly: Polygon, snap: SnapFunction) -> Polygon:
     """S2Polygon.initToSimplified (S2Polygon.kt initToSimplified /
     S2PolygonSimplifierUnitTest semantics): snap-round ALL loops
