@@ -684,16 +684,23 @@ def _cell_sessions_oracle_sql() -> str:
            "AS lat, "
            "((user_id * 104729 + 54321) % 360000001 - 180000000) / 1e6 "
            "AS lon FROM events")
+    # both window orderings tie-break on event_id: with exact-duplicate
+    # timestamps (the sf1 replicated-events regime) an ORDER BY ts alone
+    # lets the lag-computed break flag land mid-tie-group in the
+    # cumsum's independently-tie-broken order, splitting copies of one
+    # instant across two sessions (found by the sf1 full board)
     return (sqlgen.cellid_from_latlng_query(src, "event_id, ts, user_id")
             + ",\nev AS (SELECT "
             + sqlgen.parent_sql("cell_id", 8) + " AS cell_l8, ts, "
-            "user_id FROM henc),\n"
+            "user_id, event_id FROM henc),\n"
             "m AS (SELECT *, CASE WHEN lag(ts) OVER "
-            "(PARTITION BY cell_l8 ORDER BY ts) IS NULL OR "
-            "ts >= lag(ts) OVER (PARTITION BY cell_l8 ORDER BY ts) "
-            "+ INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk FROM ev),\n"
+            "(PARTITION BY cell_l8 ORDER BY ts, event_id) IS NULL OR "
+            "ts >= lag(ts) OVER (PARTITION BY cell_l8 ORDER BY ts, "
+            "event_id) + INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk "
+            "FROM ev),\n"
             "s AS (SELECT *, SUM(brk) OVER (PARTITION BY cell_l8 "
-            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m),\n"
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM m),\n"
             "sess AS (SELECT MIN(ts) AS session_start, "
             "MAX(ts) + INTERVAL 2 HOUR AS session_end, cell_l8, "
             "COUNT(*) AS n_events, "
