@@ -502,48 +502,157 @@ def build_polylines(edges: list[tuple[int, int]],
                         min_input_ids=min_input_ids)
 
 
-def _clockwise_loops(edges: list[tuple[int, int]],
-                     vertices) -> list[list[int]]:
-    """Simple-loop partition with the clockwise-face continuation rule
-    (see get_directed_loops); raises ValueError on open chains."""
-    import numpy as _np
+def _ordered_ccw(a, b, c, o) -> bool:
+    """S2Predicates.orderedCCW (S2Predicates.kt:446-458): b is within
+    the CCW sweep from a to c around o."""
+    from . import predicates as pred
+    total = 0
+    if pred.sign(b, o, a) >= 0:
+        total += 1
+    if pred.sign(c, o, b) >= 0:
+        total += 1
+    if pred.sign(a, o, c) > 0:
+        total += 1
+    return total >= 2
 
-    from .booleanop import _pick_clockwise
-    by_start: dict[int, list[int]] = {}
-    for i, (a, _b) in enumerate(edges):
-        by_start.setdefault(a, []).append(i)
-    used = [False] * len(edges)
-    loops: list[list[int]] = []
-    for i in range(len(edges)):
-        if used[i]:
+
+def _left_turn_map(edges: list[tuple[int, int]],
+                   vertices) -> list[int]:
+    """Graph.getLeftTurnMap (Graph.kt:322-419): for each incoming edge
+    at a vertex, the outgoing edge that continues a left-turning loop.
+    Edges incident to each vertex are grouped per neighbor with the
+    reference's rank interleaving (extra incoming first, then
+    alternating out/in, then extra outgoing — the 'zyAxBw' pattern),
+    sorted clockwise around the vertex with orderedCCW, and matched
+    with a LIFO stack of unmatched incoming edges (leftover outgoing
+    edges wrap around circularly).  Degenerate edges map to
+    themselves.  Raises ValueError if edges cannot be matched."""
+    import functools
+    n = len(edges)
+    left = [-1] * n
+    # group by v0: neighbor -> ([out edge ids], [in edge ids])
+    incident: dict[int, dict[int, tuple[list[int], list[int]]]] = {}
+    for e, (a, b) in enumerate(edges):
+        incident.setdefault(a, {}).setdefault(b, ([], []))[0].append(e)
+        incident.setdefault(b, {}).setdefault(a, ([], []))[1].append(e)
+    for v0, nbrs in incident.items():
+        v0_edges: list[tuple[bool, int, int, int]] = []  # (in, id, v1, rank)
+        for v1 in sorted(nbrs):
+            outs, ins = nbrs[v1]
+            if v1 == v0:
+                # each degenerate edge is its own loop
+                for e in ins:
+                    left[e] = e
+                continue
+            rank = 0
+            in_idx, out_idx = len(ins), 0
+            while in_idx > len(outs) - out_idx:
+                in_idx -= 1
+                v0_edges.append((True, ins[in_idx], v1, rank))
+                rank += 1
+            while in_idx > 0:
+                v0_edges.append((False, outs[out_idx], v1, rank))
+                out_idx += 1
+                rank += 1
+                in_idx -= 1
+                v0_edges.append((True, ins[in_idx], v1, rank))
+                rank += 1
+            while out_idx < len(outs):
+                v0_edges.append((False, outs[out_idx], v1, rank))
+                out_idx += 1
+                rank += 1
+        if not v0_edges:
             continue
-        start_edge = i
-        loop = [i]
-        used[i] = True
-        cur = i
-        while True:
-            a, b = edges[cur]
-            cands = [k for k in by_start.get(b, ()) if not used[k]]
-            if b == edges[start_edge][0]:
-                cands = cands + [start_edge]
-            if not cands:
-                raise ValueError(
-                    "get_directed_loops: open chain (graph not "
-                    "loop-assemblable; snap the inputs first)")
-            if len(cands) == 1:
-                nxt = cands[0]
+        min_endpoint = v0_edges[0][2]
+        vo = vertices[v0]
+
+        def cmp(a, b):
+            if a[2] == b[2]:
+                return -1 if a[3] < b[3] else 1
+            if a[2] == min_endpoint:
+                return -1
+            if b[2] == min_endpoint:
+                return 1
+            return (-1 if not _ordered_ccw(vertices[a[2]], vertices[b[2]],
+                                           vertices[min_endpoint], vo)
+                    else 1)
+
+        v0_edges[1:] = sorted(v0_edges[1:], key=functools.cmp_to_key(cmp))
+        e_in: list[int] = []
+        e_out: list[int] = []
+        for incoming, eid, _v1, _rank in v0_edges:
+            if incoming:
+                e_in.append(eid)
+            elif e_in:
+                left[e_in.pop()] = eid
             else:
-                v = _np.asarray(vertices[b])
-                nxt = cands[_pick_clockwise(
-                    v, _np.asarray(vertices[a]),
-                    [_np.asarray(vertices[edges[k][1]])
-                     for k in cands])]
-            if nxt == start_edge:
-                break
-            used[nxt] = True
-            loop.append(nxt)
-            cur = nxt
-        loops.append(loop)
+                e_out.append(eid)
+        e_out.reverse()
+        while e_out and e_in:
+            left[e_in.pop()] = e_out.pop()
+        if e_in or e_out:
+            raise ValueError(
+                "get_directed_loops: edges not assemblable at vertex "
+                f"{v0} (unbalanced in/out degree)")
+    return left
+
+
+def canonicalize_loop_order(min_input_ids: list[int],
+                            loop: list[int]) -> None:
+    """Graph.canonicalizeLoopOrder (Graph.kt:886-916): rotate so the
+    edge AFTER the last occurrence of the highest input id comes
+    first (preserves original loop order when edges were split)."""
+    if not loop:
+        return
+    pos = 0
+    saw_gap = False
+    for i in range(len(loop)):
+        cmp = min_input_ids[loop[i]] - min_input_ids[loop[pos]]
+        if cmp < 0:
+            saw_gap = True
+        elif cmp > 0 or not saw_gap:
+            pos = i
+            saw_gap = False
+    pos += 1
+    if pos == len(loop):
+        pos = 0
+    loop[:] = loop[pos:] + loop[:pos]
+
+
+def _clockwise_loops(edges: list[tuple[int, int]], vertices,
+                     min_input_ids: list[int] | None = None
+                     ) -> list[list[int]]:
+    """Graph.getDirectedLoops(LoopType.SIMPLE) (Graph.kt:439-500):
+    walk the left-turn map, peeling off a simple loop whenever a
+    vertex repeats on the path; loops and their edge order are
+    canonicalized by min input edge id."""
+    n = len(edges)
+    if min_input_ids is None:
+        min_input_ids = list(range(n))
+    left = _left_turn_map(edges, vertices)
+    path_index: dict[int, int] = {}
+    path: list[int] = []
+    loops: list[list[int]] = []
+    for start in range(n):
+        if left[start] < 0:
+            continue
+        e = start
+        while left[e] >= 0:
+            path.append(e)
+            nxt = left[e]
+            left[e] = -1
+            path_index[edges[e][0]] = len(path) - 1
+            loop_start = path_index.get(edges[e][1], -1)
+            if loop_start >= 0:
+                loop = path[loop_start:]
+                del path[loop_start:]
+                for e2 in loop:
+                    path_index.pop(edges[e2][0], None)
+                canonicalize_loop_order(min_input_ids, loop)
+                loops.append(loop)
+            e = nxt
+        assert not path
+    loops.sort(key=lambda lp: min_input_ids[lp[0]])
     return loops
 
 
