@@ -656,6 +656,123 @@ def _clockwise_loops(edges: list[tuple[int, int]], vertices,
     return loops
 
 
+def get_directed_circuits(edges: list[tuple[int, int]], vertices,
+                          min_input_ids: list[int] | None = None
+                          ) -> list[list[int]]:
+    """Graph.getDirectedLoops(LoopType.CIRCUIT): walk the left-turn map
+    until returning to a visited edge, WITHOUT peeling at repeated
+    vertices — degenerate filaments stay embedded in their loop (the
+    S2LaxPolygonLayer shape)."""
+    n = len(edges)
+    if min_input_ids is None:
+        min_input_ids = list(range(n))
+    left = _left_turn_map(edges, vertices)
+    loops: list[list[int]] = []
+    for start in range(n):
+        if left[start] < 0:
+            continue
+        path: list[int] = []
+        e = start
+        while left[e] >= 0:
+            path.append(e)
+            nxt = left[e]
+            left[e] = -1
+            e = nxt
+        canonicalize_loop_order(min_input_ids, path)
+        loops.append(path)
+    loops.sort(key=lambda lp: min_input_ids[lp[0]])
+    return loops
+
+
+def _is_fully_degenerate(edges: list[tuple[int, int]]) -> bool:
+    """S2FindPolygonDegeneracies.isFullyDegenerate: every edge is
+    degenerate or has its reverse present."""
+    eset = set(edges)
+    return all(a == b or (b, a) in eset for a, b in edges)
+
+
+FULL_LOOP = "full"  # sentinel in lax_polygon_layer output
+
+
+def lax_polygon_layer(loops_pts: list, degenerate_boundaries: str = "KEEP",
+                      is_full_predicate: bool = False) -> list:
+    """S2LaxPolygonLayer.buildDirected
+    (builder/layers/S2LaxPolygonLayer.kt:148-240): assemble loops that
+    may KEEP degenerate boundaries, or discard all of them / only the
+    degenerate holes / only the degenerate shells.
+
+    loops_pts: list of (n,3) vertex arrays; n==1 is a degenerate point
+    shell/hole, n==0 marks the full loop (no edges; callers pass
+    is_full_predicate accordingly).  Returns a list whose entries are
+    vertex arrays or the FULL_LOOP sentinel."""
+    import numpy as _np
+
+    from .degeneracies import find_polygon_degeneracies
+    mode = degenerate_boundaries.upper()
+    assert mode in ("DISCARD", "DISCARD_HOLES", "DISCARD_SHELLS", "KEEP")
+    vmap: dict[tuple, int] = {}
+    verts: list = []
+
+    def vid(p) -> int:
+        t = tuple(p)
+        if t not in vmap:
+            vmap[t] = len(verts)
+            verts.append(p)
+        return vmap[t]
+
+    edges: list[tuple[int, int]] = []
+    for ring in loops_pts:
+        n = len(ring)
+        if n == 0:
+            continue  # full loop: contributes no edges
+        if n == 1:
+            v = vid(ring[0])
+            edges.append((v, v))
+            continue
+        ids = [vid(p) for p in ring]
+        edges.extend((ids[i], ids[(i + 1) % n]) for i in range(n))
+    varr = _np.array(verts) if verts else _np.zeros((0, 3))
+    if mode == "DISCARD":
+        opts = GraphOptions(EdgeType.DIRECTED, DegenerateEdges.DISCARD,
+                            DuplicateEdges.KEEP, SiblingPairs.DISCARD)
+    else:
+        # DISCARD_EXCESS can still discard some sibling pairs, leaving
+        # a duplicate edge behind that would be left alone otherwise
+        opts = GraphOptions(EdgeType.DIRECTED,
+                            DegenerateEdges.DISCARD_EXCESS,
+                            DuplicateEdges.MERGE,
+                            SiblingPairs.DISCARD_EXCESS)
+    kept, kept_ids, _err = process_edges(opts, edges)
+    min_ids = [min(s) if s else NO_INPUT_ID for s in kept_ids]
+    out: list = []
+    if mode == "DISCARD":
+        if not kept and is_full_predicate:
+            out.append(FULL_LOOP)
+    elif mode == "KEEP":
+        if _is_fully_degenerate(kept) and is_full_predicate:
+            out.append(FULL_LOOP)
+    else:
+        discard_holes = mode == "DISCARD_HOLES"
+        degs = find_polygon_degeneracies(
+            varr, kept, is_full_if_degenerate=is_full_predicate)
+        if len(degs) == len(kept):
+            if not degs:
+                if is_full_predicate:
+                    out.append(FULL_LOOP)
+            elif degs[0].is_hole:
+                out.append(FULL_LOOP)
+        to_discard = {d.edge_id for d in degs
+                      if d.is_hole == discard_holes}
+        if to_discard:
+            kept = [e for i, e in enumerate(kept) if i not in to_discard]
+            min_ids = [m for i, m in enumerate(min_ids)
+                       if i not in to_discard]
+    circuits = get_directed_circuits(kept, varr, min_input_ids=min_ids)
+    for loop in circuits:
+        out.append(varr[[kept[e][0] for e in loop]])
+    return out
+
+
 def assemble_polygon(vertices, edges: list[tuple[int, int]],
                      keep_degeneracies: bool = False):
     """Polygon-layer assembly on an index graph (S2PolygonLayer.build /
