@@ -390,6 +390,48 @@ def si_ti_to_st(si):
     return (1.0 / (2.0 * MAX_SIZE)) * np.asarray(si, dtype=np.float64)
 
 
+MAX_SI_TI = np.uint64(1) << np.uint64(31)  # 2 * MAX_SIZE
+
+
+def sc_st_to_si_ti(s: float) -> int:
+    """S2Coords.stToSiTi: round to the si/ti grid (S2Coords.kt:276)."""
+    return int(round(s * float(MAX_SI_TI)))
+
+
+def sc_face_si_ti_to_xyz(face: int, si: int, ti: int):
+    """(face, si, ti) -> direction vector (S2Coords.faceSiTiToXyz)."""
+    # (1/kMaxSiTi) * si, NOT si/kMaxSiTi: must round identically to
+    # siTiToSt everywhere centers are computed (bitwise center equality)
+    u = sc_st_to_uv((1.0 / float(MAX_SI_TI)) * si)
+    v = sc_st_to_uv((1.0 / float(MAX_SI_TI)) * ti)
+    return sc_face_uv_to_xyz(face, u, v)
+
+
+def sc_xyz_to_face_si_ti(p) -> tuple[int, int, int, int]:
+    """S2Coords.xyzToFaceSiTi (S2Coords.kt:428-449): returns
+    (level, face, si, ti) where level is the cell level whose CENTER is
+    exactly p, or -1 if p is not a cell center.  The center comparison
+    is exact: centers are recomputed through the same
+    faceSiTiToXyz + normalize pipeline that produced them."""
+    x, y, z = float(p[0]), float(p[1]), float(p[2])
+    face, u, v = sc_xyz_to_face_uv(x, y, z)
+    si = sc_st_to_si_ti(sc_uv_to_st(u))
+    ti = sc_st_to_si_ti(sc_uv_to_st(v))
+    max_st = int(MAX_SI_TI)
+
+    def trailing_zeros(n: int) -> int:
+        return (n & -n).bit_length() - 1
+
+    level = 30 - trailing_zeros(si | max_st)
+    if level < 0 or level != 30 - trailing_zeros(ti | max_st):
+        return -1, face, si, ti
+    cx, cy, cz = sc_face_si_ti_to_xyz(face, si, ti)
+    n = float(np.sqrt(cx * cx + cy * cy + cz * cz))
+    if (x, y, z) == (cx / n, cy / n, cz / n):
+        return level, face, si, ti
+    return -1, face, si, ti
+
+
 def to_xyz_raw(ids):
     """Cell center direction vector, not normalized."""
     face, si, ti = center_si_ti(ids)
