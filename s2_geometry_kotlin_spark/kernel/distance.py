@@ -57,6 +57,33 @@ def meters_to_chord2(m):
                              EARTH_RADIUS_METERS)
 
 
+def to_longitude_radians(distance_rad: float, latitude_rad: float) -> float:
+    """Longitude radians spanning `distance` at a latitude
+    (S2Earth.kt:81-85): capped at 2*pi at/near the poles instead of
+    dividing by ~0."""
+    import math
+    scalar = math.cos(latitude_rad)
+    if scalar == 0.0:
+        return 2.0 * math.pi
+    return min(distance_rad / scalar, 2.0 * math.pi)
+
+
+def initial_bearing_rad(lat1: float, lng1: float, lat2: float,
+                        lng2: float) -> float:
+    """Initial bearing from point 1 to point 2, radians clockwise from
+    north (S2Earth.getInitialBearing, S2Earth.kt:92-100) — the scalar
+    twin of functions.bearing_deg (the JVM Column used by the
+    bearing_to_paris oracle row)."""
+    import math
+    cos_lat2 = math.cos(lat2)
+    lat_diff = lat2 - lat1
+    lng_diff = lng2 - lng1
+    haversine = math.sin(0.5 * lng_diff) ** 2
+    x = math.sin(lat_diff) + math.sin(lat1) * cos_lat2 * 2 * haversine
+    y = math.sin(lng_diff) * cos_lat2
+    return math.atan2(y, x)
+
+
 def point_edge_chord2(points: np.ndarray, a: np.ndarray,
                       b: np.ndarray) -> np.ndarray:
     """Min squared-chord distance from each point (m,3) to each edge
