@@ -656,6 +656,73 @@ def _clockwise_loops(edges: list[tuple[int, int]], vertices,
     return loops
 
 
+def get_undirected_components(edges: list[tuple[int, int]], vertices,
+                              min_input_ids: list[int] | None = None,
+                              sib: list[int] | None = None):
+    """Graph.getUndirectedComponents(LoopType.SIMPLE)
+    (Graph.kt:666-760): partition an undirected graph (edges given as
+    both directed copies) into connected components, each with TWO
+    complementary consistently-oriented loop sets (slot 0 and 1);
+    the walk assigns each edge's sibling to the opposite slot via a
+    frontier stack.  Slot 0 of each component is the complement whose
+    first loop most closely follows the input edge ordering.  Raises
+    ValueError if the edges do not form loops."""
+    n = len(edges)
+    if min_input_ids is None:
+        min_input_ids = list(range(n))
+    if sib is None:
+        sib = _sibling_map(edges)
+    left = _left_turn_map(edges, vertices)
+
+    def mark(slot: int) -> int:
+        return -1 - slot
+
+    components = []
+    path_index: dict[int, int] = {}
+    for min_start in range(n):
+        if left[min_start] < 0:
+            continue
+        component = ([], [])
+        frontier = [(min_start, 0)]
+        while frontier:
+            start, slot = frontier.pop()
+            if left[start] < 0:
+                continue
+            path: list[int] = []
+            e = start
+            while left[e] >= 0:
+                path.append(e)
+                nxt = left[e]
+                left[e] = mark(slot)
+                s = sib[e]
+                if left[s] >= 0:
+                    frontier.append((s, 1 - slot))
+                elif left[s] != mark(1 - slot):
+                    raise ValueError(
+                        "undirected edges do not form loops")
+                path_index[edges[e][0]] = len(path) - 1
+                loop_start = path_index.get(edges[e][1], -1)
+                if loop_start >= 0:
+                    loop = path[loop_start:]
+                    del path[loop_start:]
+                    for e2 in loop:
+                        path_index.pop(edges[e2][0], None)
+                    canonicalize_loop_order(min_input_ids, loop)
+                    component[slot].append(loop)
+                e = nxt
+            assert not path
+        for s in range(2):
+            component[s].sort(key=lambda lp: min_input_ids[lp[0]])
+        if component[0] and component[1] and \
+                min_input_ids[component[0][0][0]] > \
+                min_input_ids[component[1][0][0]]:
+            component = (component[1], component[0])
+        components.append(component)
+    components.sort(key=lambda c: min_input_ids[c[0][0][0]]
+                    if c[0] else 0)
+    return components
+
+
 def get_directed_circuits(edges: list[tuple[int, int]], vertices,
                           min_input_ids: list[int] | None = None
                           ) -> list[list[int]]:

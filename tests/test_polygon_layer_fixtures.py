@@ -58,6 +58,57 @@ def build(input_strs: list[str]) -> list[np.ndarray]:
     return [varr[r] for r in rings]
 
 
+def build_undirected(input_strs: list[str]) -> list[np.ndarray]:
+    """Undirected polygon-layer assembly (S2PolygonLayer with
+    EdgeType.UNDIRECTED): double each input edge into a sibling pair
+    (input ids on the forward copy only), apply the polygon graph
+    policy for undirected graphs, take slot 0 of each undirected
+    component, and normalize each loop to enclose at most half the
+    sphere (S2PolygonLayer.kt:164-183)."""
+    from s2_geometry_kotlin_spark.kernel.builder_graph import (
+        NO_INPUT_ID, DegenerateEdges, DuplicateEdges, EdgeType,
+        GraphOptions, SiblingPairs, get_undirected_components,
+        process_edges)
+    from s2_geometry_kotlin_spark.kernel.measures import loop_curvature
+    vmap: dict[tuple, int] = {}
+    verts: list[np.ndarray] = []
+
+    def vid(p) -> int:
+        t = tuple(p)
+        if t not in vmap:
+            vmap[t] = len(verts)
+            verts.append(p)
+        return vmap[t]
+
+    edges, ids = [], []
+    k = 0
+    for s in input_strs:
+        for ring in _loops_of(s):
+            rid = [vid(p) for p in ring]
+            n = len(rid)
+            for i in range(n):
+                edges.append((rid[i], rid[(i + 1) % n]))
+                ids.append([k])
+                edges.append((rid[(i + 1) % n], rid[i]))
+                ids.append([])
+                k += 1
+    varr = np.array(verts) if verts else np.zeros((0, 3))
+    opts = GraphOptions(EdgeType.UNDIRECTED, DegenerateEdges.DISCARD,
+                        DuplicateEdges.KEEP, SiblingPairs.DISCARD)
+    kept, kept_ids, _err = process_edges(opts, edges, input_ids=ids)
+    min_ids = [min(s) if s else NO_INPUT_ID for s in kept_ids]
+    comps = get_undirected_components(kept, varr,
+                                      min_input_ids=min_ids)
+    out = []
+    for comp in comps:
+        for loop in comp[0]:
+            ring = varr[[kept[e][0] for e in loop]]
+            if loop_curvature(ring) < 0:
+                ring = ring[::-1].copy()
+            out.append(ring)
+    return out
+
+
 def canon(ring: np.ndarray) -> tuple:
     """Rotation-normalized ring key (orientation-preserving)."""
     tups = [tuple(v) for v in ring]
@@ -73,6 +124,17 @@ def check(input_strs: list[str], expected_str: str):
     got = {canon(r) for r in build(input_strs)}
     want = {canon(r) for r in _loops_of(expected_str)}
     assert got == want, (got, want)
+    # undirected assembly: complement 0 of each component, loops
+    # normalized to enclose <= half the sphere — compare against the
+    # expected rings normalized the same way
+    from s2_geometry_kotlin_spark.kernel.measures import loop_curvature
+
+    def norm(r):
+        return r[::-1].copy() if loop_curvature(r) < 0 else r
+
+    got_u = {canon(norm(r)) for r in build_undirected(input_strs)}
+    want_u = {canon(norm(r)) for r in _loops_of(expected_str)}
+    assert got_u == want_u, (got_u, want_u)
 
 
 def check_unchanged(s: str):
