@@ -656,9 +656,80 @@ def _clockwise_loops(edges: list[tuple[int, int]], vertices,
     return loops
 
 
+def get_directed_components(edges: list[tuple[int, int]], vertices,
+                            degenerate_boundaries: str = "KEEP",
+                            min_input_ids: list[int] | None = None,
+                            sib: list[int] | None = None):
+    """Graph.getDirectedComponents (Graph.kt:541-625): partition a
+    sibling-paired directed graph into connected components of loops
+    (the polygon-MESH assembly: an edge and its sibling always end up
+    in the same component, in different loops).  With
+    degenerate_boundaries == 'DISCARD', sibling pairs encountered along
+    a path peel off as separate loops and the pair itself cancels
+    (filament removal)."""
+    n = len(edges)
+    if min_input_ids is None:
+        min_input_ids = list(range(n))
+    if sib is None:
+        sib = _sibling_map(edges)
+    left = _left_turn_map(edges, vertices)
+    discard = degenerate_boundaries.upper() == "DISCARD"
+    components = []
+    path_index = [-1] * n if discard else None
+    for min_start in range(n):
+        if left[min_start] < 0:
+            continue
+        component: list[list[int]] = []
+        frontier = [min_start]
+        while frontier:
+            start = frontier.pop()
+            if left[start] < 0:
+                continue
+            path: list[int] = []
+            e = start
+            while left[e] >= 0:
+                path.append(e)
+                nxt = left[e]
+                left[e] = -1
+                s = sib[e]
+                if left[s] >= 0:
+                    frontier.append(s)
+                if discard:
+                    path_index[e] = len(path) - 1
+                    s_idx = path_index[s]
+                    if s_idx < 0:
+                        e = nxt
+                        continue
+                    if s_idx == len(path) - 2:
+                        # adjacent sibling pair: cancel both
+                        del path[s_idx:]
+                    else:
+                        # peel off the loop BETWEEN the pair; the pair
+                        # itself cancels
+                        loop = path[s_idx + 1:len(path) - 1]
+                        del path[s_idx:]
+                        for e2 in loop:
+                            path_index[e2] = -1
+                        canonicalize_loop_order(min_input_ids, loop)
+                        component.append(loop)
+                e = nxt
+            if discard:
+                for e2 in path:
+                    path_index[e2] = -1
+            if path:
+                canonicalize_loop_order(min_input_ids, path)
+                component.append(path)
+        component.sort(key=lambda lp: min_input_ids[lp[0]])
+        if component:
+            components.append(component)
+    components.sort(key=lambda c: min_input_ids[c[0][0]])
+    return components
+
+
 def get_undirected_components(edges: list[tuple[int, int]], vertices,
                               min_input_ids: list[int] | None = None,
-                              sib: list[int] | None = None):
+                              sib: list[int] | None = None,
+                              loop_type: str = "simple"):
     """Graph.getUndirectedComponents(LoopType.SIMPLE)
     (Graph.kt:666-760): partition an undirected graph (edges given as
     both directed copies) into connected components, each with TWO
@@ -700,17 +771,22 @@ def get_undirected_components(edges: list[tuple[int, int]], vertices,
                 elif left[s] != mark(1 - slot):
                     raise ValueError(
                         "undirected edges do not form loops")
-                path_index[edges[e][0]] = len(path) - 1
-                loop_start = path_index.get(edges[e][1], -1)
-                if loop_start >= 0:
-                    loop = path[loop_start:]
-                    del path[loop_start:]
-                    for e2 in loop:
-                        path_index.pop(edges[e2][0], None)
-                    canonicalize_loop_order(min_input_ids, loop)
-                    component[slot].append(loop)
+                if loop_type == "simple":
+                    path_index[edges[e][0]] = len(path) - 1
+                    loop_start = path_index.get(edges[e][1], -1)
+                    if loop_start >= 0:
+                        loop = path[loop_start:]
+                        del path[loop_start:]
+                        for e2 in loop:
+                            path_index.pop(edges[e2][0], None)
+                        canonicalize_loop_order(min_input_ids, loop)
+                        component[slot].append(loop)
                 e = nxt
-            assert not path
+            if loop_type == "simple":
+                assert not path
+            else:
+                canonicalize_loop_order(min_input_ids, path)
+                component[slot].append(path)
         for s in range(2):
             component[s].sort(key=lambda lp: min_input_ids[lp[0]])
         if component[0] and component[1] and \
@@ -899,6 +975,12 @@ def _sibling_map(edges: list[tuple[int, int]]) -> list[int]:
                 if sib[nxt] == -1:
                     j = nxt
                     break
+        if j == -1 and a == b:
+            # a lone degenerate edge is its own sibling
+            # (Graph.makeSiblingMap: degenerate edges pair among
+            # themselves, an odd copy self-pairs)
+            sib[i] = i
+            continue
         if j == -1:
             raise ValueError(
                 "undirected graph requires sibling-paired edges")

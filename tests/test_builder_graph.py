@@ -449,3 +449,74 @@ def test_get_directed_loops_degenerate_edges():
     loops = get_directed_loops(kept)
     sizes = sorted(len(lp) for lp in loops)
     assert sizes == [1, 2, 4]
+
+
+def test_get_directed_components_degenerate_edges():
+    """GraphUnitTest.getDirectedComponentsDegenerateEdges (:89-108):
+    a degenerate edge and a square, with sibling pairs CREATEd, yield
+    two components: [1 loop of 1 edge] and [2 loops of 4 edges]."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel.builder_graph import (
+        DegenerateEdges, DuplicateEdges, EdgeType, GraphOptions,
+        SiblingPairs, get_directed_components, process_edges)
+
+    def pt(lat, lng):
+        x, y, z = ck.latlng_deg_to_xyz(np.array([float(lat)]),
+                                       np.array([float(lng)]))
+        return np.array([x[0], y[0], z[0]])
+
+    verts = np.array([pt(1, 1), pt(0, 0), pt(0, 2), pt(2, 2), pt(2, 0)])
+    edges = [(0, 0), (1, 2), (2, 3), (3, 4), (4, 1)]
+    opts = GraphOptions(EdgeType.DIRECTED, DegenerateEdges.DISCARD_EXCESS,
+                        DuplicateEdges.MERGE, SiblingPairs.CREATE)
+    kept, ids, _err = process_edges(opts, edges)
+    from s2_geometry_kotlin_spark.kernel.builder_graph import NO_INPUT_ID
+    min_ids = [min(s) if s else NO_INPUT_ID for s in ids]
+    comps = get_directed_components(kept, verts, "KEEP",
+                                    min_input_ids=min_ids)
+    sizes = sorted(sorted(len(lp) for lp in c) for c in comps)
+    assert sizes == [[1], [4, 4]]
+
+
+def test_get_undirected_components_degenerate_edges():
+    """GraphUnitTest.getUndirectedComponentsDegenerateEdges (:110-136):
+    the same graph with undirected edges yields two components whose
+    two complements each contain one loop (sizes 1 and 4)."""
+    import numpy as np
+
+    from s2_geometry_kotlin_spark.kernel import cellid as ck
+    from s2_geometry_kotlin_spark.kernel.builder_graph import (
+        DegenerateEdges, DuplicateEdges, EdgeType, GraphOptions,
+        NO_INPUT_ID, SiblingPairs, get_undirected_components,
+        process_edges)
+
+    def pt(lat, lng):
+        x, y, z = ck.latlng_deg_to_xyz(np.array([float(lat)]),
+                                       np.array([float(lng)]))
+        return np.array([x[0], y[0], z[0]])
+
+    verts = np.array([pt(1, 1), pt(0, 0), pt(0, 2), pt(2, 2), pt(2, 0)])
+    und = []
+    ids = []
+    k = 0
+    for a, b in [(0, 0), (1, 2), (2, 3), (3, 4), (4, 1)]:
+        und.append((a, b))
+        ids.append([k])
+        und.append((b, a))
+        ids.append([])
+        k += 1
+    opts = GraphOptions(EdgeType.UNDIRECTED,
+                        DegenerateEdges.DISCARD_EXCESS,
+                        DuplicateEdges.KEEP, SiblingPairs.DISCARD_EXCESS)
+    kept, kept_ids, _err = process_edges(opts, und, input_ids=ids)
+    min_ids = [min(s) if s else NO_INPUT_ID for s in kept_ids]
+    comps = get_undirected_components(kept, verts,
+                                      min_input_ids=min_ids,
+                                      loop_type="circuit")
+    assert len(comps) == 2
+    shapes = sorted(
+        [sorted(len(lp) for lp in slot) for slot in c]
+        for c in comps)
+    assert shapes == [[[1], [1]], [[4], [4]]]
