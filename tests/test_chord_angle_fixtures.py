@@ -67,8 +67,9 @@ def test_trigonometry():
         tan_expected = math.tan(radians)
         tan_got = math.tan(rad2)
         if abs(tan_expected) < 1e12:  # skip the pole
+            # d(tan)/d(angle) = 1 + tan^2 scales the roundtrip error
             assert abs(tan_got - tan_expected) <= \
-                1e-15 * max(1.0, abs(tan_expected) ** 2)
+                4e-15 * (1.0 + tan_expected ** 2)
 
 
 def test_arithmetic_in_chord_space():
