@@ -173,16 +173,25 @@ def expensive_sign(a, b, c, perturb: bool = True) -> int:
 
 
 def sign(a, b, c) -> int:
-    """Robust scalar sign: +1 CCW, -1 CW, 0 iff two points identical."""
-    a = np.asarray(a, dtype=np.float64)
-    b = np.asarray(b, dtype=np.float64)
-    c = np.asarray(c, dtype=np.float64)
-    det = float(np.cross(a, b) @ c)
+    """Robust scalar sign: +1 CCW, -1 CW, 0 iff two points identical.
+
+    The triage determinant is written out component-wise: np.cross on
+    3-vectors pays generic moveaxis overhead that dominated the boolean
+    kernels' scalar hot path (same floating-point operations, so the
+    triage value is bit-identical; borderline cases still escalate to
+    expensive_sign either way)."""
+    a0, a1, a2 = float(a[0]), float(a[1]), float(a[2])
+    b0, b1, b2 = float(b[0]), float(b[1]), float(b[2])
+    det = ((a1 * b2 - a2 * b1) * float(c[0])
+           + (a2 * b0 - a0 * b2) * float(c[1])
+           + (a0 * b1 - a1 * b0) * float(c[2]))
     if det > MAX_DET_ERROR:
         return 1
     if det < -MAX_DET_ERROR:
         return -1
-    return expensive_sign(a, b, c)
+    return expensive_sign(np.asarray(a, dtype=np.float64),
+                          np.asarray(b, dtype=np.float64),
+                          np.asarray(c, dtype=np.float64))
 
 
 def ordered_ccw(a, b, c, o) -> bool:
@@ -206,15 +215,21 @@ def ordered_ccw(a, b, c, o) -> bool:
 def crossing_sign(a, b, c, d) -> int:
     """+1 interior crossing, 0 shared vertex, -1 no crossing
     (S2EdgeCrosser.kt:231-341 semantics, stateless)."""
+    # component comparisons instead of np.array_equal: the scalar
+    # crossing ladder calls this hundreds of thousands of times in the
+    # boolean split pass
+    at = (float(a[0]), float(a[1]), float(a[2]))
+    bt = (float(b[0]), float(b[1]), float(b[2]))
+    ct = (float(c[0]), float(c[1]), float(c[2]))
+    dt = (float(d[0]), float(d[1]), float(d[2]))
+    if at == ct or at == dt or bt == ct or bt == dt:
+        return 0
+    if at == bt or ct == dt:
+        return -1
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     c = np.asarray(c, dtype=np.float64)
     d = np.asarray(d, dtype=np.float64)
-    if (np.array_equal(a, c) or np.array_equal(a, d)
-            or np.array_equal(b, c) or np.array_equal(b, d)):
-        return 0
-    if np.array_equal(a, b) or np.array_equal(c, d):
-        return -1
     acb = -sign(a, b, c)
     bda = sign(a, b, d)
     if bda != acb:
