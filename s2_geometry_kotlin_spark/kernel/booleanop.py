@@ -145,37 +145,10 @@ def _vkey(v: np.ndarray) -> tuple:
     return (float(v[0]), float(v[1]), float(v[2]))
 
 
-def _tangent_angle(v: np.ndarray, w: np.ndarray,
-                   e1: np.ndarray, e2: np.ndarray) -> float:
-    """Azimuth of the geodesic direction from v toward w in the tangent
-    plane at v (edges are < pi so the projection is well-defined)."""
-    d = w - float(w @ v) * v
-    return math.atan2(float(d @ e2), float(d @ e1))
-
-
-def _pick_clockwise(v: np.ndarray, incoming_from: np.ndarray,
-                    cand_targets: list[np.ndarray]) -> int:
-    """Index of the candidate continuing the face walk at junction v:
-    the next direction CLOCKWISE from the direction back toward the
-    incoming vertex.  This is the planar-subdivision rule that traces
-    each face (interior on the left) without self-crossing — at a pinch
-    vertex it splits the walk into simple loops touching at v, matching
-    the reference's vertex-crossing resolution."""
-    # orthonormal tangent basis at v
-    ref = np.array([1.0, 0.0, 0.0]) if abs(v[0]) < 0.9 \
-        else np.array([0.0, 1.0, 0.0])
-    e1 = np.cross(v, ref)
-    e1 /= np.linalg.norm(e1)
-    e2 = np.cross(v, e1)
-    ang_in = _tangent_angle(v, incoming_from, e1, e2)
-    best_i, best_off = 0, float("inf")
-    for i, w in enumerate(cand_targets):
-        off = (ang_in - _tangent_angle(v, w, e1, e2)) % (2.0 * math.pi)
-        if off <= 0.0:  # sibling of the incoming edge: full turn
-            off = 2.0 * math.pi
-        if off < best_off:
-            best_off, best_i = off, i
-    return best_i
+# (The former tangent-plane nearest-clockwise junction rule lived here;
+# loop assembly now goes through the reference left-turn map in
+# builder_graph._left_turn_map, which handles touching multi-loop
+# junctions with the rank-interleaved LIFO pairing.)
 
 
 def _stitch(subedges: list[tuple[np.ndarray, np.ndarray]]) \
