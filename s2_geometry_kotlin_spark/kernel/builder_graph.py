@@ -452,6 +452,11 @@ def build_polylines(edges: list[tuple[int, int]],
       indegree, then leftover loops are spliced into walks passing
       through a shared vertex, else emitted as closed walks.
 
+    Candidate starting edges are considered in min-input-id order and
+    the output is sorted by each chain's first input id
+    (buildPaths/canonicalizeVectorOrder, Graph.kt:920-925), so multiple
+    output polylines come back in input order whenever possible.
+
     Undirected graphs either normalize to directed first
     (process_edges with SiblingPairs.REQUIRE/CREATE flips edge_type)
     or assemble directly with build_polylines_undirected."""
@@ -459,6 +464,9 @@ def build_polylines(edges: list[tuple[int, int]],
     out_deg = {v: len(es) for v, es in out_map.items()}
     used = [False] * len(edges)
     n_left = len(edges)
+    ids = min_input_ids if min_input_ids is not None \
+        else list(range(len(edges)))
+    input_order = sorted(range(len(edges)), key=lambda e: (ids[e], e))
 
     def is_interior(v: int) -> bool:
         return in_deg.get(v, 0) == 1 and out_deg.get(v, 0) == 1
@@ -486,14 +494,17 @@ def build_polylines(edges: list[tuple[int, int]],
                 if used[cur]:
                     return out
 
-        for e in range(len(edges)):
+        for e in input_order:
             if not used[e] and not is_interior(edges[e][0]):
                 polylines.append(build_path(e))
-        for e in range(len(edges)):  # leftover loops (all-interior)
+        for e in input_order:  # leftover loops (all-interior)
             if n_left == 0:
                 break
             if not used[e]:
-                polylines.append(build_path(e))
+                loop = build_path(e)
+                canonicalize_loop_order(ids, loop)
+                polylines.append(loop)
+        polylines.sort(key=lambda w: ids[w[0]])
         return polylines
 
     if polyline_type != "walk":
@@ -1001,6 +1012,9 @@ def build_polylines_undirected(edges: list[tuple[int, int]],
     out_deg = {v: len(es) for v, es in out_map.items()}
     used = [False] * len(edges)
     n_left = len(edges) // 2
+    ids = min_input_ids if min_input_ids is not None \
+        else list(range(len(edges)))
+    input_order = sorted(range(len(edges)), key=lambda e: (ids[e], e))
 
     def is_interior(v: int) -> bool:
         return out_deg.get(v, 0) == 2
@@ -1031,14 +1045,19 @@ def build_polylines_undirected(edges: list[tuple[int, int]],
                 v = edges[nxt][1]
             return out
 
-        for e in range(len(edges)):
+        # starting edges in input-id order, so the input direction is
+        # preferred (reverse copies carry NO_INPUT_ID and come last)
+        for e in input_order:
             if not used[e] and not is_interior(edges[e][0]):
                 polylines.append(build_path(e))
-        for e in range(len(edges)):  # leftover loops
+        for e in input_order:  # leftover loops
             if n_left == 0:
                 break
             if not used[e]:
-                polylines.append(build_path(e))
+                loop = build_path(e)
+                canonicalize_loop_order(ids, loop)
+                polylines.append(loop)
+        polylines.sort(key=lambda w: ids[w[0]])
         return polylines
 
     if polyline_type != "walk":

@@ -323,7 +323,8 @@ def _edge_circumcenter_sign(x: np.ndarray, y: np.ndarray, a: np.ndarray,
 
 
 def snap_edge(x: np.ndarray, y: np.ndarray, sites: np.ndarray,
-              snap: SnapFunction) -> list[int]:
+              snap: SnapFunction,
+              r_edge: float | None = None) -> list[int]:
     """Site chain for input edge (x, y) — S2Builder.snapEdge
     (:1390-1492) including the Voronoi-exclusion chain pruning:
     candidates (sites within edge_snap_radius of the edge) are visited
@@ -337,12 +338,30 @@ def snap_edge(x: np.ndarray, y: np.ndarray, sites: np.ndarray,
     last = _nearest_site(y, sites)
     if first == last:
         return [first]
-    r_edge = snap.edge_snap_radius()
+    if r_edge is None:
+        # callers that snap crossing-split geometry keep the padded
+        # radius; the polyline layers pass the exact per-options radius
+        # (padded by kIntersectionError ONLY under splitCrossingEdges,
+        # S2Builder.kt:384-397)
+        r_edge = snap.edge_snap_radius()
     r2 = _chord2(r_edge)
     xs = np.broadcast_to(x, sites.shape)
     ys = np.broadcast_to(y, sites.shape)
     d2 = point_edge_chord2_pairwise(sites, xs, ys)
     near = set(np.flatnonzero(d2 <= r2).tolist()) | {first, last}
+    if r2 == 0.0:
+        # zero edge snap radius (IdentitySnap(0)): the reference's
+        # candidate test is the EXACT predicate
+        # compareEdgeDistance(c, x, y, 0) <= 0 (S2Builder.kt:1416), so
+        # a site merely within float rounding of the great circle —
+        # e.g. 4:5 on the 3:5..5:5 meridian chord, whose double
+        # coordinates are NOT exactly coplanar — must not split the
+        # edge.  Keep only sites exactly on the edge's great circle
+        # (the chord2-to-segment filter above already bounds them to
+        # the segment).
+        near = {i for i in near
+                if i in (first, last) or
+                pred._exact_sign(x, y, sites[i], perturb=False) == 0}
     # visit order: increasing distance from X
     cand = sorted(near,
                   key=lambda i: float(((sites[i] - x) ** 2).sum()))
@@ -673,9 +692,12 @@ def build_polyline_layer(lines: list[np.ndarray],
     ids: list[int] = []  # per graph edge: its INPUT edge id (sub-edges
     # of a snap-split input edge share the id — Graph.getMinInputEdgeIds)
     input_id = 0
+    r_edge = snap.snap_radius + (INTERSECTION_ERROR
+                                 if split_crossing_edges else 0.0)
     for ln in lines:
         for i in range(len(ln) - 1):
-            seg = snap_edge(ln[i], ln[i + 1], sites, snap)
+            seg = snap_edge(ln[i], ln[i + 1], sites, snap,
+                            r_edge=r_edge)
             for a, b in zip(seg[:-1], seg[1:]):
                 if a != b:
                     edges.append((a, b))
@@ -707,6 +729,126 @@ def build_polyline_layer(lines: list[np.ndarray],
         chain = [edges[w[0]][0]] + [edges[e][1] for e in w]
         out.append(sites[chain])
     return out
+
+
+def build_polyline_vector_layer(lines: list[np.ndarray],
+                                snap: SnapFunction | None = None,
+                                edge_type: str = "directed",
+                                polyline_type: str = "path",
+                                duplicate_edges: str = "keep",
+                                sibling_pairs: str = "keep",
+                                labels: list | None = None,
+                                split_crossing_edges: bool = False):
+    """S2PolylineVectorLayer semantics
+    (builder/layers/S2PolylineVectorLayer.kt): assemble the combined
+    edge multiset into MULTIPLE polylines — graph options are
+    (edge_type, DegenerateEdges.DISCARD, duplicate_edges,
+    sibling_pairs) per graphOptions() (:150-152), assembly is
+    Graph.getPolylines(polyline_type) (:155), i.e. buildPaths (split at
+    every vertex where the continuation is ambiguous) or buildWalks.
+    Output polylines come back in input order whenever possible
+    (canonicalizeVectorOrder).
+
+    Vertex ids are assigned in leaf-cell-id order of the chosen sites
+    (S2Builder.sortInputVertices, S2Builder.kt:957-1005 sorts candidate
+    sites by S2CellId), which the reference's edge ordering — and hence
+    the tie-break order of leftover loops sharing one input id —
+    inherits.
+
+    `labels`, when given, is one label list per input polyline; returns
+    (polylines, label_sets) where label_sets[i][j] is the sorted label
+    list of edge j of polyline i, fetched like Graph.LabelFetcher
+    (Graph.kt:800-835: undirected fetch unions both siblings' input
+    edges).  Without `labels`, returns just the polyline list."""
+    from .builder_graph import (NO_INPUT_ID, DegenerateEdges,
+                                DuplicateEdges, EdgeType, GraphOptions,
+                                SiblingPairs, _sibling_map,
+                                build_polylines,
+                                build_polylines_undirected,
+                                process_edges)
+    snap = snap if snap is not None else IdentitySnap(0.0)
+    lines = [np.asarray(ln, dtype=np.float64) for ln in lines]
+    edge_list = [(ln[i], ln[i + 1]) for ln in lines
+                 for i in range(len(ln) - 1)]
+
+    def empty():
+        return ([], []) if labels is not None else []
+
+    if not edge_list:
+        return empty()
+    all_v = np.concatenate(lines, axis=0)
+    cand = [all_v]
+    if split_crossing_edges:
+        xpts = crossing_vertices(edge_list)
+        if xpts:
+            cand.append(np.asarray(xpts))
+    sites = choose_sites(np.concatenate(cand, axis=0), snap)
+    # renumber sites in leaf-cell-id order (sortInputVertices)
+    from . import cellid as _ck
+    cids = _ck.from_xyz(sites[:, 0], sites[:, 1], sites[:, 2])
+    perm = np.argsort(cids, kind="stable")
+    sites = sites[perm]
+    edges: list[tuple[int, int]] = []
+    ids: list[list[int]] = []  # per graph edge: its input-edge ID SET
+    input_labels: dict[int, tuple] = {}
+    input_id = 0
+    r_edge = snap.snap_radius + (INTERSECTION_ERROR
+                                 if split_crossing_edges else 0.0)
+    for li, ln in enumerate(lines):
+        lab = tuple(labels[li]) if labels is not None else ()
+        for i in range(len(ln) - 1):
+            seg = snap_edge(ln[i], ln[i + 1], sites, snap,
+                            r_edge=r_edge)
+            for a, b in zip(seg[:-1], seg[1:]):
+                # degenerate sub-edges stay: the layer's
+                # DegenerateEdges.DISCARD drops them in process_edges
+                edges.append((a, b))
+                ids.append([input_id])
+                if edge_type == "undirected":
+                    # the reverse copy of an undirected edge carries NO
+                    # input id (input ids live in one direction only)
+                    edges.append((b, a))
+                    ids.append([])
+            input_labels[input_id] = lab
+            input_id += 1
+    opts = GraphOptions(
+        EdgeType.DIRECTED if edge_type == "directed"
+        else EdgeType.UNDIRECTED,
+        DegenerateEdges.DISCARD,
+        DuplicateEdges.MERGE if duplicate_edges == "merge"
+        else DuplicateEdges.KEEP,
+        {"keep": SiblingPairs.KEEP,
+         "discard": SiblingPairs.DISCARD}[sibling_pairs])
+    edges, ids, err = process_edges(opts, edges, ids)
+    if err is not None:
+        raise ValueError(err)
+    if not edges:
+        return empty()
+    min_ids = [min(s) if s else NO_INPUT_ID for s in ids]
+    if edge_type == "directed":
+        walks = build_polylines(edges, polyline_type,
+                                min_input_ids=min_ids)
+    else:
+        walks = build_polylines_undirected(edges, polyline_type,
+                                           min_input_ids=min_ids)
+    out = []
+    for w in walks:
+        chain = [edges[w[0]][0]] + [edges[e][1] for e in w]
+        out.append(sites[chain])
+    if labels is None:
+        return out
+    sib = _sibling_map(edges) if edge_type == "undirected" else None
+    out_labels = []
+    for w in walks:
+        pl = []
+        for e in w:
+            s = set(ids[e])
+            if sib is not None:
+                s |= set(ids[sib[e]])
+            pl.append(sorted({lv for iid in s
+                              for lv in input_labels[iid]}))
+        out_labels.append(pl)
+    return out, out_labels
 
 
 def init_to_simplified(poly: Polygon, snap: SnapFunction) -> Polygon:

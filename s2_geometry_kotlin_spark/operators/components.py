@@ -7,22 +7,25 @@ CLUSTER requires the transitive closure — connected components with
 component id = min doc id, so the kept document is the cluster's
 smallest id (deterministic, join-free to apply).
 
-Implementation is min-label propagation as a pure DataFrame loop: each
-round every node takes the minimum label among itself and its
-neighbors, via a shuffle-on-node-id aggregate; `localCheckpoint`
-truncates the lineage each round so the plan doesn't grow (the
-iterative-loop pattern used by the kNN escalation in operators/
-edges.py).  Rounds needed = graph diameter; near-duplicate clusters are
-near-cliques (diameter 2-3), so this converges in a handful of rounds
-at any scale.  For adversarial long-chain graphs
+Implementation is min-label propagation WITH pointer jumping as a pure
+DataFrame loop: each round every node takes the minimum label among
+itself and its neighbors (one shuffle keyed by the receiving node),
+then follows its label one hop (label <- label(label) — the
+"shortcutting" step of Shiloach-Vishkin / hash-to-min, Rastogi et al.,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds",
+ICDE'13).  The jump makes rounds O(log diameter) instead of
+O(diameter): near-duplicate clusters (near-cliques, diameter 2-3)
+converge in 2-3 rounds, and even a pathological million-node chain
+needs ~20.  Each round ends in ONE job: a lazy `localCheckpoint`
+(truncates lineage so the plan doesn't grow) materialized by the same
+full-scan `max(changed)` aggregate that tests convergence — r6
+profiling attributed the dedup-family scaling loss to this loop's
+per-round serial barriers (two jobs x 8-10 rounds), so the round count
+and the jobs-per-round were both halved.  For adversarial graphs
 `connected_components_star` implements the large-star/small-star
 contraction (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14), which bounds rounds by O(log^2 n) on any graph at
-the cost of two shuffles per round; dedup inputs don't need it, so the
-propagation loop stays the default.
-
-Convergence is checked with a count of changed labels per round — an
-O(1)-row action, not a collect of data.
+Beyond", SoCC'14) as an independent algorithm; propagation+jump stays
+the default.
 """
 
 from __future__ import annotations
@@ -38,10 +41,20 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
                          max_rounds: int = MAX_ROUNDS) -> DataFrame:
     """(node, component) for every node appearing in `pairs`;
     component = min node id reachable through the pair graph."""
-    edges = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-             .union(pairs.select(F.col(b).alias("u"),
-                                 F.col(a).alias("v")))
+    # symmetrized edge set, hash-partitioned on the per-round join key
+    # once so only the (smaller) label table shuffles each round.
+    # Symmetrize with ONE explode, not union(pairs, swap(pairs)): the
+    # union form puts the `pairs` plan in the tree twice, and when the
+    # input is an unmaterialized pipeline (the LSH candidate+verify
+    # chain here) Spark computes it twice — measured 2x the whole
+    # dedup_components wall time at 16 cores (r6 item 3 profiling)
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+                 F.struct(F.col(b).alias("u"), F.col(a).alias("v"))))
+             .alias("e"))
+             .select("e.u", "e.v")
              .distinct()
+             .repartition("u")
              .localCheckpoint())
     comp = (edges.select(F.col("u").alias("node"))
             .distinct()
@@ -52,18 +65,28 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
         msgs = (edges.join(comp, edges.u == comp.node)
                 .groupBy(F.col("v").alias("node"))
                 .agg(F.min("comp").alias("nbr_min")))
-        # the convergence flag rides along in the same pass — no extra
-        # old-vs-new join; the count is an O(1)-row action over the
-        # checkpointed result
-        nxt = (comp.join(msgs, "node", "left")
+        stepped = (comp.join(msgs, "node", "left")
+                   .select("node",
+                           F.least("comp", F.coalesce("nbr_min", "comp"))
+                           .alias("mid"),
+                           (F.coalesce("nbr_min", "comp") < F.col("comp"))
+                           .alias("stepped")))
+        # pointer jump: labels are node ids, so follow the label's own
+        # label (always <= and in the same component — reachability is
+        # transitive); this is what makes rounds O(log diameter)
+        lbl = stepped.select(F.col("node").alias("lnode"),
+                             F.col("mid").alias("lcomp"))
+        nxt = (stepped.join(lbl, stepped.mid == lbl.lnode, "left")
                .select("node",
-                       F.least("comp", F.coalesce("nbr_min", "comp"))
-                       .alias("new_comp"),
-                       (F.coalesce("nbr_min", "comp") < F.col("comp"))
+                       F.coalesce("lcomp", "mid").alias("new_comp"),
+                       (F.col("stepped") |
+                        (F.coalesce("lcomp", "mid") < F.col("mid")))
                        .alias("changed"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         comp = nxt.select("node", F.col("new_comp").alias("comp"))
-        if nxt.where("changed").limit(1).count() == 0:
+        # ONE job: the full-scan aggregate materializes the lazy
+        # checkpoint (every partition) and returns the convergence flag
+        if not nxt.agg(F.max("changed")).first()[0]:
             converged = True
             break
     if not converged:
@@ -91,7 +114,11 @@ def connected_components_star(pairs: DataFrame, a: str = "doc_a",
     edges directed larger -> smaller): every node u links its smaller
     neighbors and itself to m.  Both preserve connectivity; the
     fixpoint is a star per component centered on its minimum id."""
-    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # materialize the input once: it appears in both the node-universe
+    # and edge plans below (same double-compute hazard as in
+    # connected_components)
+    raw = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+           .localCheckpoint())
     # node universe from the UNFILTERED pairs so nodes appearing only in
     # self-pairs still get a self-label (parity with connected_components)
     all_nodes = (raw.select(F.col("u").alias("node"))

@@ -188,9 +188,12 @@ def _minhash_pairs_over(docs: DataFrame,
     # instead of N_BANDS x shingle rows (the former band-replicate
     # join) — same (doc, band) -> min md5(shingle#band) definition,
     # same oracle
+    # cached: `banded` below self-joins, and a self-join of an
+    # unmaterialized plan computes it once PER SIDE (one row per doc x
+    # N_BANDS digests — spill-safe at any corpus size)
     per_doc = sh.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(b)))))
-        .alias(f"m{b}") for b in range(N_BANDS)])
+        .alias(f"m{b}") for b in range(N_BANDS)]).cache()
     banded = (per_doc.select(
         "doc_id",
         F.explode(F.array(*[
