@@ -745,6 +745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_in_snapped_layer": q_pages_in_snapped_layer,
         "pages_in_selfsplit_layer": q_pages_in_selfsplit_layer,
         "mixed_boolean_counts": q_mixed_boolean_counts,
+        "polyline_vector_layer": __import__(
+            "s2_geometry_kotlin_spark.operators.polyline_vector",
+            fromlist=["q_polyline_vector_layer"]).q_polyline_vector_layer,
         "cell_sessions": q_cell_sessions,
         "token_stats": ts.q_token_stats,
         "bpe_token_stats": ts.q_bpe_token_stats,
@@ -889,6 +892,10 @@ def oracle_sql() -> dict[str, str]:
         "mixed_boolean_counts": __import__(
             "s2_geometry_kotlin_spark.operators.mixed_boolean",
             fromlist=["mixed_boolean_oracle_sql"]).mixed_boolean_oracle_sql(),
+        "polyline_vector_layer": __import__(
+            "s2_geometry_kotlin_spark.operators.polyline_vector",
+            fromlist=["polyline_vector_oracle_sql"]
+        ).polyline_vector_oracle_sql(),
         "cell_sessions": _cell_sessions_oracle_sql(),
         "token_stats": ts.token_stats_sql(),
         "bpe_token_stats": ts.bpe_token_stats_sql(),
