@@ -70,7 +70,17 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
                            F.least("comp", F.coalesce("nbr_min", "comp"))
                            .alias("mid"),
                            (F.coalesce("nbr_min", "comp") < F.col("comp"))
-                           .alias("stepped")))
+                           .alias("stepped"))
+                   # lazy checkpoint: the pointer-jump below self-joins
+                   # stepped against its own projection; without a
+                   # materialization point the edges-join-comp message
+                   # aggregation appears twice in the physical plan
+                   # (two HashAggregate pairs, no ReusedExchange) and
+                   # may compute twice per round — the same
+                   # double-compute hazard fixed for `edges` in r7.
+                   # The max(changed) action at the end of the round
+                   # materializes it (still ONE job per round).
+                   .localCheckpoint(eager=False))
         # pointer jump: labels are node ids, so follow the label's own
         # label (always <= and in the same component — reachability is
         # transitive); this is what makes rounds O(log diameter)

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, BooleanType, IntegerType
@@ -139,6 +139,9 @@ def build_buffered_covering_rows(polygons: list[tuple[str, int, Polygon]],
     from ..kernel import metrics
     from ..kernel.coverer import RegionCoverer
     from ..kernel.coverer import normalize as norm
+    key = ("buffered", _layer_digest(polygons), radius_rad, max_cells)
+    if key in _COVERING_CACHE:
+        return _COVERING_CACHE[key]
     coverer = RegionCoverer(max_cells=max_cells)
     radius_level = metrics.MIN_WIDTH.get_level_for_min_value(radius_rad)
     rows = []
@@ -157,6 +160,7 @@ def build_buffered_covering_rows(polygons: list[tuple[str, int, Polygon]],
             out.update(ck.get_all_neighbors(base, expand_level))
         for cid in norm(sorted(out)):
             rows.append((layer, pid, _signed(cid), ck.sc_level(cid)))
+    _COVERING_CACHE[key] = rows
     return rows
 
 
@@ -328,38 +332,56 @@ def _pip_edges_array_df(spark: SparkSession,
 def make_pip_sql_predicate(spark: SparkSession,
                            polygons: list[tuple[str, int, Polygon]]):
     """Pure-JVM PIP verify: crossing-parity fold over the polygon's edge
-    array — term-for-term the DuckDB oracle's pipcross CTE
-    (functions/sqlgen.pip_join_ctes), so verdicts are bit-exact across
-    engines.  Triage-only signs (no exact-arithmetic escalation): right
-    for the throughput path where points exactly on polygon edges do not
-    occur; the Arrow kernel path (make_pip_udf) keeps the reference's
-    full robustness ladder.
+    array — the same sign algebra as the DuckDB oracle's pipcross CTE
+    (functions/sqlgen.pip_join_ctes), bit-identical verdicts.
+    Triage-only signs (no exact-arithmetic escalation): right for the
+    throughput path where points exactly on polygon edges do not occur;
+    the Arrow kernel path (make_pip_udf) keeps the reference's full
+    robustness ladder.
+
+    The fold evaluates each of the three dot products EXACTLY ONCE per
+    edge: with t = -sgn(op.c) and all signs in {-1, +1}, the crossing
+    test (sgn(op.d) == t) & (-sgn(e.p) == t) & (seo == t) branches on
+    the sign of op.c instead of materializing t (which would inline the
+    op.c dot product into all three comparisons — the pre-r8 form
+    computed it 3x per edge, plus re-derived the op = ORIGIN x p vector
+    per use; op now comes in as three precomputed row columns).
 
     Returns (edges_df, keep_expr) — join candidates with
     F.broadcast(edges_df) on polygon_id, filter with keep_expr over
-    page columns (x, y, z from s2f.xyz_cols)."""
-    from ..kernel import predicates as _pred
-    ox, oy, oz = (float(v) for v in _pred.ORIGIN)
+    page columns (x, y, z from s2f.xyz_cols and opx/opy/opz from
+    origin_cross_cols)."""
     edges_df = _pip_edges_array_df(spark, polygons)
     x, y, z = F.col("x"), F.col("y"), F.col("z")
-    opx = F.lit(oy) * z - F.lit(oz) * y
-    opy = F.lit(oz) * x - F.lit(ox) * z
-    opz = F.lit(ox) * y - F.lit(oy) * x
-
-    def sgn(v):
-        return F.when(v > 0, F.lit(1)).otherwise(F.lit(-1))
+    opx, opy, opz = F.col("opx"), F.col("opy"), F.col("opz")
 
     def cross_count(acc, e):
-        t = -sgn(opx * e.cx + opy * e.cy + opz * e.cz)
-        crossing = (
-            (sgn(opx * e.dx + opy * e.dy + opz * e.dz) == t) &
-            (-sgn(e.ex * x + e.ey * y + e.ez * z) == t) &
-            (e.seo == t))
+        opc = opx * e.cx + opy * e.cy + opz * e.cz
+        opd = opx * e.dx + opy * e.dy + opz * e.dz
+        ep = e.ex * x + e.ey * y + e.ez * z
+        # t = -sgn(op.c); sgn(v) = 1 if v > 0 else -1 (as before)
+        crossing = F.when(
+            opc > 0,                       # t = -1
+            (~(opd > 0)) & (ep > 0) & (e.seo == -1)
+        ).otherwise(                       # t = +1
+            (opd > 0) & (~(ep > 0)) & (e.seo == 1))
         return acc + F.when(crossing, F.lit(1)).otherwise(F.lit(0))
 
     ncross = F.aggregate("edges", F.lit(0), cross_count)
     keep = (ncross % 2 == 1) != F.col("origin_inside")
     return edges_df, keep
+
+
+def origin_cross_cols() -> dict[str, Column]:
+    """op = ORIGIN x p as Columns over row columns x, y, z — computed
+    once per candidate row (guide: hoist row-constant subexpressions out
+    of per-edge lambdas)."""
+    from ..kernel import predicates as _pred
+    ox, oy, oz = (float(v) for v in _pred.ORIGIN)
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    return {"opx": F.lit(oy) * z - F.lit(oz) * y,
+            "opy": F.lit(oz) * x - F.lit(ox) * z,
+            "opz": F.lit(ox) * y - F.lit(oy) * x}
 
 
 def spatial_join(pages: DataFrame, spark: SparkSession,
@@ -414,6 +436,13 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
                           .join(spark.range(nsalt)
                                 .select(F.col("id").cast("int")
                                         .alias("salt"))))
+            # NOT pre-filtered by covering-cell membership: an InSet
+            # semi-filter before the exchange (guide §3.2) cuts the
+            # shuffled probe rows 3x (9M -> 3M at sf0.1) but measured
+            # SLOWER locally (1.02 -> 1.36 s candidate stage, A/B same
+            # session) — the boxed InSet probe on 9M rows costs more
+            # than a local-disk shuffle of the extra rows.  Revisit on
+            # a real network where shuffle bytes dominate.
             probe = probe.withColumn(
                 "salt",
                 F.pmod(F.xxhash64("url"), F.lit(nsalt)).cast("int"))
@@ -437,6 +466,7 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
         from .. import functions as s2f
         xc, yc, zc = s2f.xyz_cols("lat", "lon")
         joined = joined.withColumns({"x": xc, "y": yc, "z": zc})
+        joined = joined.withColumns(origin_cross_cols())
         edges_df, pip_keep = make_pip_sql_predicate(spark, polygons)
         joined = joined.join(F.broadcast(edges_df), "polygon_id", "inner")
         keep = F.col("is_interior") | pip_keep
