@@ -38,9 +38,19 @@ MAX_ROUNDS = 25
 
 def connected_components(pairs: DataFrame, a: str = "doc_a",
                          b: str = "doc_b",
-                         max_rounds: int = MAX_ROUNDS) -> DataFrame:
+                         max_rounds: int = MAX_ROUNDS,
+                         assume_distinct: bool = False) -> DataFrame:
     """(node, component) for every node appearing in `pairs`;
-    component = min node id reachable through the pair graph."""
+    component = min node id reachable through the pair graph.
+
+    assume_distinct=True skips the edge-dedup exchange — correct when
+    the caller guarantees `pairs` has no duplicate rows and a < b per
+    row (the LSH pair pipelines emit exactly that: one row per verified
+    (doc_a, doc_b) with doc_a < doc_b), so the symmetrized u/v rows are
+    distinct by construction.  Duplicate edges would not change the
+    fixpoint, only the per-round message volume — the flag is purely a
+    shuffle-count optimization (guide §2.4: a `distinct` on data that
+    is already unique is an accidental exchange)."""
     # symmetrized edge set, hash-partitioned on the per-round join key
     # once so only the (smaller) label table shuffles each round.
     # Symmetrize with ONE explode, not union(pairs, swap(pairs)): the
@@ -52,10 +62,10 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
                  F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
                  F.struct(F.col(b).alias("u"), F.col(a).alias("v"))))
              .alias("e"))
-             .select("e.u", "e.v")
-             .distinct()
-             .repartition("u")
-             .localCheckpoint())
+             .select("e.u", "e.v"))
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.repartition("u").localCheckpoint()
     comp = (edges.select(F.col("u").alias("node"))
             .distinct()
             .withColumn("comp", F.col("node")))
@@ -204,7 +214,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str,
     if not via_reps:
         pairs = (q_minhash_lsh_pairs(spark, sf_dir, via_reps=False)
                  .select("doc_a", "doc_b"))
-        return connected_components(pairs).select(
+        return connected_components(
+            pairs, assume_distinct=True).select(
             F.col("node").alias("doc_id"),
             F.col("comp").alias("component_id"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -213,7 +224,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str,
         mapping.where(F.col("doc_id") == F.col("rep_id"))
         .select("doc_id"), "doc_id"))
     rep_pairs = _minhash_pairs_over(reps).select("doc_a", "doc_b")
-    rep_comp = connected_components(rep_pairs).select(
+    rep_comp = connected_components(
+        rep_pairs, assume_distinct=True).select(
         F.col("node").alias("rep_id"), F.col("comp").alias("rep_comp"))
     # a doc appears in the full pair graph iff its group has >= 2
     # members (intra pairs) or its representative has a near-dup pair

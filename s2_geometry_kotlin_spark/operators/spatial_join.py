@@ -99,11 +99,22 @@ def covering_df(spark: SparkSession,
                                  _COV_SCHEMA)
 
 
-def make_pip_udf(polygons: list[tuple[str, int, Polygon]]):
+def make_pip_udf(polygons: list[tuple[str, int, Polygon]],
+                 with_interior: bool = False):
     """Arrow-batched verify UDF: (polygon_id, lat, lon) -> contained.
 
     The polygon vertex arrays ride in the UDF closure (broadcast by Spark
-    with the task binary — layers are small by design)."""
+    with the task binary — layers are small by design).
+
+    with_interior=True takes the candidate's is_interior flag as a 4th
+    argument and SKIPS the numpy PIP kernel for interior fast-accept
+    rows (they are contained by construction).  The post-UDF filter
+    `is_interior OR pip(...)` cannot skip that compute: ArrowEvalPython
+    evaluates the UDF column for every input row before the filter runs
+    (guide §4 — Python UDFs are hoisted out of boolean expressions into
+    their own plan node).  Worth it on the range/stabbing path whose
+    unclamped covering makes ~34% of candidates interior; the clamped
+    broadcast covering sees ~1%."""
     loops_by_pid: dict[int, list[np.ndarray]] = {
         pid: [lp.vertices for lp in poly.loops]
         for _, pid, poly in polygons
@@ -111,21 +122,41 @@ def make_pip_udf(polygons: list[tuple[str, int, Polygon]]):
     inv_by_pid = {pid: bool(getattr(poly, "inverted", False))
                   for _, pid, poly in polygons}
 
-    @pandas_udf(BooleanType())
-    def pip_contains(polygon_id: pd.Series, lat: pd.Series,
-                     lon: pd.Series) -> pd.Series:
-        la = lat.to_numpy(dtype=np.float64)
-        lo = lon.to_numpy(dtype=np.float64)
+    def _contains(pids: np.ndarray, la: np.ndarray,
+                  lo: np.ndarray) -> np.ndarray:
         x, y, z = ck.latlng_deg_to_xyz(la, lo)
         pts = np.stack([x, y, z], axis=1)
-        pids = polygon_id.to_numpy(dtype=np.int64)
         out = np.zeros(len(pids), dtype=bool)
         for pid in np.unique(pids):
             mask = pids == pid
             out[mask] = pip.polygon_contains_points(
                 loops_by_pid[int(pid)], pts[mask],
                 inverted=inv_by_pid[int(pid)])
-        return pd.Series(out)
+        return out
+
+    if with_interior:
+        @pandas_udf(BooleanType())
+        def pip_contains_i(polygon_id: pd.Series, lat: pd.Series,
+                           lon: pd.Series,
+                           is_interior: pd.Series) -> pd.Series:
+            interior = is_interior.to_numpy(dtype=bool)
+            out = interior.copy()
+            todo = ~interior
+            if todo.any():
+                out[todo] = _contains(
+                    polygon_id.to_numpy(dtype=np.int64)[todo],
+                    lat.to_numpy(dtype=np.float64)[todo],
+                    lon.to_numpy(dtype=np.float64)[todo])
+            return pd.Series(out)
+
+        return pip_contains_i
+
+    @pandas_udf(BooleanType())
+    def pip_contains(polygon_id: pd.Series, lat: pd.Series,
+                     lon: pd.Series) -> pd.Series:
+        return pd.Series(_contains(polygon_id.to_numpy(dtype=np.int64),
+                                   lat.to_numpy(dtype=np.float64),
+                                   lon.to_numpy(dtype=np.float64)))
 
     return pip_contains
 
@@ -408,6 +439,16 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
         meta_df = spark.createDataFrame(
             meta, "ref int, layer string, polygon_id long, "
                   "is_interior boolean")
+        # NOTE (r8): a scalar-seg variant (vectorized searchsorted
+        # returning one int, then a broadcast (seg -> covering row)
+        # join — no per-row Python list building, no Generate) measured
+        # only ~5% faster at sf0.1 AND exploded the optimizer tree when
+        # composed with the pure-JVM cellid pipeline (driver OOM during
+        # planning: joining on a column derived from the very large
+        # cell_id expression triggers constraint/pushdown copies of the
+        # whole tree, even with the UDF marked non-deterministic).  The
+        # explode form keeps the UDF output behind a Generate, which the
+        # optimizer does not substitute through.
         joined = (pages.withColumn("ref",
                                    F.explode(stab(F.col("cell_id"))))
                   .join(F.broadcast(meta_df), "ref", "inner"))
@@ -471,7 +512,10 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
         joined = joined.join(F.broadcast(edges_df), "polygon_id", "inner")
         keep = F.col("is_interior") | pip_keep
     else:
-        pip_udf = make_pip_udf(polygons)
-        keep = F.col("is_interior") | pip_udf(F.col("polygon_id"),
-                                              F.col("lat"), F.col("lon"))
+        # the interior flag rides INTO the UDF (one bool column) so the
+        # numpy kernel skips fast-accept rows; boolean-identical to
+        # `is_interior | pip(...)` outside
+        pip_udf = make_pip_udf(polygons, with_interior=True)
+        keep = pip_udf(F.col("polygon_id"), F.col("lat"), F.col("lon"),
+                       F.col("is_interior"))
     return joined.where(keep).select("url", "layer", "polygon_id")
