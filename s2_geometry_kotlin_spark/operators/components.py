@@ -80,17 +80,15 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
                            F.least("comp", F.coalesce("nbr_min", "comp"))
                            .alias("mid"),
                            (F.coalesce("nbr_min", "comp") < F.col("comp"))
-                           .alias("stepped"))
-                   # lazy checkpoint: the pointer-jump below self-joins
-                   # stepped against its own projection; without a
-                   # materialization point the edges-join-comp message
-                   # aggregation appears twice in the physical plan
-                   # (two HashAggregate pairs, no ReusedExchange) and
-                   # may compute twice per round — the same
-                   # double-compute hazard fixed for `edges` in r7.
-                   # The max(changed) action at the end of the round
-                   # materializes it (still ONE job per round).
-                   .localCheckpoint(eager=False))
+                           .alias("stepped")))
+        # NOT checkpointed: the pointer-jump below self-joins stepped,
+        # and the STATIC plan shows the message aggregation twice (no
+        # ReusedExchange) — but the adaptive runtime DOES reuse the
+        # exchange, so no double compute occurs: a lazy localCheckpoint
+        # here measured SLOWER at both sf0.1 (1.06 -> 1.14 s) and a
+        # 2M-edge synthetic graph x3 rounds (7.1 -> 7.9 s, same-session
+        # A/B) — pure persistence overhead.  Measured r8, closing the
+        # r7 advice item by measurement rather than by applying it.
         # pointer jump: labels are node ids, so follow the label's own
         # label (always <= and in the same component — reachability is
         # transitive); this is what makes rounds O(log diameter)
