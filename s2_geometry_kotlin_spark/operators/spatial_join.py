@@ -418,7 +418,8 @@ def origin_cross_cols() -> dict[str, Column]:
 def spatial_join(pages: DataFrame, spark: SparkSession,
                  polygons: list[tuple[str, int, Polygon]],
                  max_cells: int = 32, strategy: str = "broadcast",
-                 nsalt: int = 8, verify: str = "kernel") -> DataFrame:
+                 nsalt: int | None = None,
+                 verify: str = "kernel") -> DataFrame:
     """pages(url, lat, lon, cell_id) x polygon layer -> (url, layer,
     polygon_id).  Exactly the rows whose point is contained (SEMI_OPEN).
 
@@ -431,7 +432,23 @@ def spatial_join(pages: DataFrame, spark: SparkSession,
     search per page against the swept rangeNodes segments instead of a
     probe-row per covering level — no probe explode, unclamped (tighter)
     coverings, broadcast ref->metadata join.
+
+    nsalt (salted only) defaults to S2_NSALT or 8.  The salt count is a
+    DATA-size knob, not a core-count knob: the hot coarse covering
+    cells hold rows proportional to corpus size, so the spread that is
+    optimal at one scale under-spreads at 10x.  Measured (same-session
+    A/B, 32 cores): at 2M/8M pages nsalt=8 wins (1.36/2.68 s vs
+    1.67/3.00 s at nsalt=32 — extra covering replication and partition
+    overhead); at 20M pages nsalt=32 wins 1.6x (5.1 s vs 8.3 s —
+    nsalt=8 leaves ~2M-row hot-cell partitions whose verify straggles;
+    AQE skew split does not fire because the partitions are far below
+    skewedPartitionThresholdInBytes).  Local default stays 8 for the
+    2M-page bench contract; size production runs with
+    S2_NSALT ~ rows_per_hot_cell / 250k.
     """
+    if nsalt is None:
+        import os
+        nsalt = int(os.environ.get("S2_NSALT", "8"))
     if strategy == "range":
         starts, offsets, flat, meta = build_range_index(polygons,
                                                         max_cells)
