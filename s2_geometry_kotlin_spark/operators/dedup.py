@@ -25,12 +25,25 @@ _W = "string_split_regex(trim(text), ' +')"
 
 
 def _shingles_spark():
+    """Word 3-gram set as zip_with over three shifted slices.
+
+    Equivalent to (and byte-identical with, including array order —
+    pinned by tests/test_r08_optimizations.py) the older
+    transform-over-indices form `transform(sequence(1, m),
+    i -> concat_ws(' ', slice(w, i, 3)))`, but ~4x faster: a
+    subexpression inside an HOF lambda is re-evaluated PER ELEMENT, so
+    the index form re-ran split() ~53x per document (once per shingle);
+    here the three slices are HOF *arguments*, evaluated once per row,
+    and the lambda only concatenates.  Short-text edge cases match
+    because slice truncates at the array end, zip_with pads the shorter
+    array with nulls, and concat_ws skips nulls."""
     w = F.split(F.trim(F.col("text")), " +")
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.size(w) - F.lit(SHINGLE_WORDS - 1),
-                              F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, SHINGLE_WORDS))))
+    m = F.greatest(F.size(w) - F.lit(SHINGLE_WORDS - 1), F.lit(1))
+    acc = F.slice(w, 1, m)
+    for k in range(1, SHINGLE_WORDS):
+        acc = F.zip_with(acc, F.slice(w, k + 1, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(acc)
 
 
 _SHINGLES_SQL = (f"list_distinct(list_transform("
@@ -215,20 +228,31 @@ def _minhash_pairs_over(docs: DataFrame,
         # bucket equi-join), isolating the LSH stage from the exact
         # Jaccard verify stage
         return cand
-    # exact Jaccard over candidate pairs only: fan each pair out to the
-    # a-side shingle list, count b-side matches per pair
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (cand.join(sh_a, "doc_a")
-              .join(sh_b, ["doc_b", "shingle"])
-              .groupBy("doc_a", "doc_b")
-              .agg(F.count("*").alias("n_shared")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("nb"))
-    jac = (shared.join(sa, "doc_a").join(sb, "doc_b")
+    # exact Jaccard over candidate pairs only, computed per PAIR as
+    # |A n B| = size(array_intersect(shingles(A), shingles(B))) over
+    # per-doc shingle-set rows.  The pre-r8 form fanned each candidate
+    # pair out to the a-side shingle ROWS and equi-joined the b-side
+    # rows — O(candidates x shingles/doc) join input, which on the
+    # dense-duplication scaling corpus (8.2M candidates x 52 shingles)
+    # meant a 500M-row join: measured 85 s -> 20 s at 16 cores with
+    # bit-identical output (shingle arrays are distinct per doc, so the
+    # intersect size equals the old matched-row count).  Still
+    # candidate-only — no shingle-keyed join anywhere, so the hot-
+    # shingle quadratic blowup the LSH exists to avoid cannot return;
+    # the set rows shuffle O(docs x doc_size) instead of
+    # O(candidates x doc_size).  Join strategy is left to the planner:
+    # the set table broadcasts when small, shuffles at scale.
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("ss"),
+        F.count("*").alias("n_sh"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("ss").alias("ss_a"), F.col("n_sh").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("ss").alias("ss_b"), F.col("n_sh").alias("nb"))
+    jac = (cand.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("n_shared",
+                       F.size(F.array_intersect("ss_a", "ss_b"))
+                       .cast("long"))
            .withColumn("jaccard", F.round(
                F.col("n_shared") /
                (F.col("na") + F.col("nb") - F.col("n_shared")), 6)))

@@ -118,6 +118,60 @@ def test_route_covering_memo(spark):
     assert again == fresh       # recompute is deterministic
 
 
+def test_shingles_zip_form_equals_index_form(spark):
+    """The zip_with shingle expression must be array-identical
+    (elements AND order) to the pre-r8 transform-over-indices form,
+    including short-text edge cases."""
+    from s2_geometry_kotlin_spark.operators.dedup import (SHINGLE_WORDS,
+                                                          _shingles_spark)
+    texts = ["a b c d e f", "one two three", "two words", "single", "",
+             "  padded   spaces  x y z  ", "a a a a", "w1 w2 w3 w4 w5"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    w = F.split(F.trim(F.col("text")), " +")
+    index_form = F.array_distinct(F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size(w) - F.lit(SHINGLE_WORDS - 1),
+                              F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, SHINGLE_WORDS))))
+    rows = df.select("doc_id", _shingles_spark().alias("new"),
+                     index_form.alias("old")).collect()
+    for r in rows:
+        assert list(r["new"]) == list(r["old"]), r
+
+
+def test_minhash_verify_intersect_equals_join_form(spark):
+    """The array-intersect Jaccard verify must emit exactly the rows of
+    the pre-r8 candidate-fanout join verify over the same corpus."""
+    from s2_geometry_kotlin_spark.operators.dedup import (
+        JACCARD_THRESHOLD, _minhash_pairs_over, _shingle_rows_of)
+    texts = [f"w{i} " + "common text body shared by near dups "
+             + ("tail one" if i % 2 else "tail two")
+             for i in range(12)] + ["totally different document here"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    new = _minhash_pairs_over(docs)
+    # pre-r8 verify over the same candidate set
+    sh = _shingle_rows_of(docs)
+    cand = _minhash_pairs_over(docs, verify=False)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (cand.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    old = (shared
+           .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n_sh").alias("na")), "doc_a")
+           .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n_sh").alias("nb")), "doc_b")
+           .withColumn("jaccard", F.round(
+               F.col("n") / (F.col("na") + F.col("nb") - F.col("n")), 6))
+           .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+           .select("doc_a", "doc_b", "jaccard"))
+    assert _rows(new) == _rows(old)
+
+
 def test_query_covering_memo():
     from s2_geometry_kotlin_spark.operators import knn as K
     qs = [(0, 48.8566, 2.3522), (1, 40.7128, -74.006)]
