@@ -229,7 +229,7 @@ def _minhash_pairs_over(docs: DataFrame,
         # Jaccard verify stage
         return cand
     # exact Jaccard over candidate pairs only, computed per PAIR as
-    # |A n B| = size(array_intersect(shingles(A), shingles(B))) over
+    # |A n B| = size(array_intersect(hashes(A), hashes(B))) over
     # per-doc shingle-set rows.  The pre-r8 form fanned each candidate
     # pair out to the a-side shingle ROWS and equi-joined the b-side
     # rows — O(candidates x shingles/doc) join input, which on the
@@ -242,8 +242,24 @@ def _minhash_pairs_over(docs: DataFrame,
     # the set rows shuffle O(docs x doc_size) instead of
     # O(candidates x doc_size).  Join strategy is left to the planner:
     # the set table broadcasts when small, shuffles at scale.
+    #
+    # The intersect runs over xxhash64(shingle), not the shingle
+    # strings (guide §2.3/§8: shuffle a lightweight proxy, not the
+    # payload): the two joins attach both arrays to every candidate
+    # row, so array bytes dominate the verify — 8 B/element vs ~30 B
+    # strings cut the attached volume ~4x and the intersect compares
+    # longs instead of hashing strings.  Measured 19.9 -> 4.8 s at 16
+    # cores on the 8.2M-candidate corpus, output row-identical
+    # (exceptAll symdiff 0 both directions).  |hashes(A) n hashes(B)|
+    # == |A n B| unless two DISTINCT shingles in one pair's union
+    # collide in 64 bits (~100^2/2^65 ~= 3e-16 per pair, deterministic
+    # across runs/engines when it cannot occur in the data); pinned
+    # against the string form by
+    # tests/test_r08_optimizations.py::
+    # test_minhash_verify_intersect_equals_join_form and the oracle
+    # boards.
     sets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("ss"),
+        F.collect_list(F.xxhash64("shingle")).alias("ss"),
         F.count("*").alias("n_sh"))
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("ss").alias("ss_a"), F.col("n_sh").alias("na"))
